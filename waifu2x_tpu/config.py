@@ -1,0 +1,48 @@
+"""Framework configuration — one dataclass replacing the reference's two
+config mechanisms: the TCLAP flag set (main.cpp:26-61, C1) and the
+modelUtility singleton carrying nJob + blockSplittingSize
+(modelHandler.hpp:92-113, C10). Defaults match the reference exactly."""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class Config:
+    # --- reference CLI flags (main.cpp:26-61), identical defaults ---
+    mode: str = "noise_scale"          # noise | scale | noise_scale
+    noise_level: int = 1               # 1 | 2
+    scale_ratio: float = 2.0
+    model_dir: str = "models"
+    jobs: int = 4                      # kept for CLI compat; host-side only
+
+    # --- modelUtility singleton state (modelHandler.hpp:98-99) ---
+    block_size: int = 512              # blockSplittingSize (square)
+
+    # --- TPU-native extensions (no reference analogue) ---
+    precision: str = "highest"         # f32 matmul passes: default|high|highest
+    compute_dtype: str = "float32"     # float32 | bfloat16
+    use_pallas: bool = False           # fused Pallas conv stack on TPU
+    tile_size: int = 512               # device tile size for batched tiling
+    batch_tiles: int = 8               # tiles batched per device step
+    alpha: str = "ignore"              # ignore | bicubic (hints-jp.md:76-81)
+
+    def __post_init__(self):
+        if self.mode not in ("noise", "scale", "noise_scale"):
+            raise ValueError(f"invalid mode: {self.mode!r}")
+        if self.noise_level not in (1, 2):
+            raise ValueError(f"invalid noise_level: {self.noise_level}")
+        if self.jobs < 1:
+            # mirrors modelUtility::setNumberOfJobs validation
+            raise ValueError("jobs must be >= 1")
+        if self.block_size < 0:
+            # mirrors modelUtility::setBlockSize validation
+            raise ValueError("block_size must be >= 0")
+
+    def set_block_size_exp2_square(self, exp: int) -> None:
+        """Power-of-two square block helper, mirroring
+        modelUtility::setBlockSizeExp2Square (modelHandler.cpp:215-220)."""
+        if exp < 0:
+            raise ValueError("exp must be >= 0")
+        self.block_size = 2 ** exp
