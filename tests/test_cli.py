@@ -1,0 +1,119 @@
+"""CLI: flag surface, defaults, auto-naming, end-to-end file conversion
+(reference C1 + C3, main.cpp:26-71 and 173-189)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from waifu2x_tpu import io as w2x_io
+from waifu2x_tpu.cli import build_parser, config_from_args, main
+from waifu2x_tpu.models import ModelSpec, init_params
+from waifu2x_tpu.models.srcnn import as_numpy
+from waifu2x_tpu.models.weights import save_model_json
+from waifu2x_tpu.models.zoo import identity_params
+
+
+def test_defaults_match_reference():
+    args = build_parser().parse_args(["-i", "in.png"])
+    cfg = config_from_args(args)
+    assert cfg.mode == "noise_scale"          # main.cpp:42
+    assert cfg.noise_level == 1               # main.cpp:49
+    assert cfg.scale_ratio == 2.0             # main.cpp:52
+    assert cfg.jobs == 4                      # main.cpp:59
+    assert args.output_file == "(auto)"       # main.cpp:34
+    assert cfg.block_size == 512              # modelHandler.hpp:99
+
+
+def test_mode_constraint():
+    with pytest.raises(SystemExit):
+        build_parser().parse_args(["-i", "x.png", "-m", "bogus"])
+    with pytest.raises(SystemExit):
+        build_parser().parse_args(["-i", "x.png", "--noise_level", "3"])
+
+
+@pytest.mark.parametrize(
+    "mode,level,ratio,want",
+    [
+        ("noise_scale", 1, 2.0, "img(noise_scale)(Level1)(x2.000000).png"),
+        ("noise", 2, 2.0, "img(noise)(Level2).png"),
+        ("scale", 1, 2.5, "img(scale)(x2.500000).png"),
+    ],
+)
+def test_auto_output_name(mode, level, ratio, want):
+    got = w2x_io.auto_output_name("/p/img.jpg", mode, level, ratio)
+    assert got == f"/p/{want}"
+
+
+def _write_models(model_dir, spec):
+    os.makedirs(model_dir, exist_ok=True)
+    import jax
+    for name, seed in [("noise1_model.json", 0), ("noise2_model.json", 1)]:
+        save_model_json(os.path.join(model_dir, name),
+                        as_numpy(init_params(jax.random.PRNGKey(seed), spec)))
+    save_model_json(os.path.join(model_dir, "scale2.0x_model.json"),
+                    as_numpy(init_params(jax.random.PRNGKey(2), spec)))
+
+
+def test_cli_end_to_end(tmp_path, rng):
+    spec = ModelSpec.from_widths([1, 3, 1])
+    model_dir = str(tmp_path / "models")
+    _write_models(model_dir, spec)
+    src = str(tmp_path / "input.png")
+    w2x_io.imwrite_bgr(src, rng.integers(0, 256, (20, 24, 3), dtype=np.uint8))
+
+    rc = main(["-i", src, "--model_dir", model_dir, "-m", "noise_scale"])
+    assert rc == 0
+    out = str(tmp_path / "input(noise_scale)(Level1)(x2.000000).png")
+    assert os.path.exists(out)
+    img = w2x_io.imread_bgr(out)
+    assert img.shape == (40, 48, 3)
+
+
+def test_cli_explicit_output_and_mode(tmp_path, rng):
+    spec = ModelSpec.from_widths([1, 3, 1])
+    model_dir = str(tmp_path / "models")
+    _write_models(model_dir, spec)
+    src = str(tmp_path / "a.png")
+    dst = str(tmp_path / "b.png")
+    w2x_io.imwrite_bgr(src, rng.integers(0, 256, (16, 16, 3), dtype=np.uint8))
+    rc = main(["-i", src, "-o", dst, "-m", "noise", "--noise_level", "2",
+               "--model_dir", model_dir])
+    assert rc == 0
+    assert w2x_io.imread_bgr(dst).shape == (16, 16, 3)
+
+
+def test_cli_missing_model_dir(tmp_path, rng):
+    src = str(tmp_path / "a.png")
+    w2x_io.imwrite_bgr(src, rng.integers(0, 256, (8, 8, 3), dtype=np.uint8))
+    rc = main(["-i", src, "--model_dir", str(tmp_path / "nope")])
+    assert rc == 1
+
+
+def test_cli_alpha_bicubic(tmp_path, rng):
+    spec = ModelSpec.from_widths([1, 3, 1])
+    model_dir = str(tmp_path / "models")
+    _write_models(model_dir, spec)
+    src = str(tmp_path / "rgba.png")
+    rgba = rng.integers(0, 256, (12, 12, 4), dtype=np.uint8)
+    w2x_io.imwrite_bgr(src, rgba)
+    dst = str(tmp_path / "out.png")
+    rc = main(["-i", src, "-o", dst, "-m", "scale", "--alpha", "bicubic",
+               "--model_dir", model_dir])
+    assert rc == 0
+    out = w2x_io.imread_bgra(dst)
+    assert out is not None and out.shape == (24, 24, 4)
+
+
+def test_zoo_identity_roundtrip(tmp_path):
+    from waifu2x_tpu.models.zoo import ensure_default_models
+    from waifu2x_tpu.models.weights import load_model_json
+    spec = ModelSpec.from_widths([1, 2, 1])
+    made = ensure_default_models(str(tmp_path), spec)
+    assert len(made) == 3
+    params = load_model_json(str(tmp_path / "noise1_model.json"))
+    ident = identity_params(spec)
+    for p, q in zip(params, ident):
+        np.testing.assert_array_equal(p["w"], q["w"])
+    # idempotent
+    assert ensure_default_models(str(tmp_path), spec) == []

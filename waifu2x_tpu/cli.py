@@ -1,0 +1,148 @@
+"""Command-line interface — drop-in compatible flag set.
+
+Replaces the reference's TCLAP CLI (main.cpp:26-71, C1) with argparse. Every
+reference flag is preserved with identical names, constraints and defaults;
+TPU-specific flags are additive.
+
+    waifu2x-tpu -i in.png [-o out.png] [-m noise|scale|noise_scale]
+                [--noise_level 1|2] [--scale_ratio 2.0] [--model_dir models]
+                [-j 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from waifu2x_tpu import io as w2x_io
+from waifu2x_tpu.config import Config
+from waifu2x_tpu.utils.logging import get_logger
+
+log = get_logger("cli")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="waifu2x-tpu",
+        description="waifu2x on TPU (JAX/XLA/Pallas reimplementation)",
+    )
+    # --- reference flags, identical semantics (main.cpp:26-61) ---
+    p.add_argument("-i", "--input_file", required=True,
+                   help="path to input image file")
+    p.add_argument("-o", "--output_file", default="(auto)",
+                   help="path to output image file")
+    p.add_argument("-m", "--mode", default="noise_scale",
+                   choices=["noise", "scale", "noise_scale"],
+                   help="image processing mode")
+    p.add_argument("--noise_level", type=int, default=1, choices=[1, 2],
+                   help="noise reduction level")
+    p.add_argument("--scale_ratio", type=float, default=2.0,
+                   help="custom scale ratio")
+    p.add_argument("--model_dir", default=None,
+                   help="path to custom model directory (don't append last /)")
+    p.add_argument("-j", "--jobs", type=int, default=4,
+                   help="number of host worker threads")
+    # --- TPU-native extensions ---
+    p.add_argument("--block_size", type=int, default=512,
+                   help="block-splitting threshold size (reference: 512)")
+    p.add_argument("--tile_size", type=int, default=512,
+                   help="device tile size for the tiled path")
+    p.add_argument("--precision", default="highest",
+                   choices=["default", "high", "highest"],
+                   help="f32 matmul precision on TPU")
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--pallas", action="store_true",
+                   help="use the fused Pallas conv kernel (TPU only)")
+    p.add_argument("--alpha", default="ignore", choices=["ignore", "bicubic"],
+                   help="alpha channel: drop (reference behavior) or "
+                        "bicubic-resample it alongside")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace to DIR")
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> Config:
+    return Config(
+        mode=args.mode,
+        noise_level=args.noise_level,
+        scale_ratio=args.scale_ratio,
+        model_dir=(args.model_dir if args.model_dir is not None
+                   else w2x_io.default_model_dir()),
+        jobs=args.jobs,
+        block_size=args.block_size,
+        tile_size=args.tile_size,
+        precision=args.precision,
+        compute_dtype=args.compute_dtype,
+        use_pallas=args.pallas,
+        alpha=args.alpha,
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+
+    from waifu2x_tpu.pipeline import Converter  # deferred: imports jax
+
+    if args.model_dir is None:
+        # default model dir: auto-provision placeholder identity models if
+        # the trained blobs aren't present (reference blobs are LFS-missing)
+        from waifu2x_tpu.models.zoo import ensure_default_models
+        made = ensure_default_models(cfg.model_dir)
+        if made:
+            log.warning("generated placeholder identity models: %s",
+                        ", ".join(made))
+
+    t0 = time.perf_counter()
+    try:
+        converter = Converter.from_config(cfg)
+    except FileNotFoundError as e:
+        log.error("%s", e)
+        return 1
+
+    try:
+        img = w2x_io.imread_bgr(args.input_file)
+    except (FileNotFoundError, IOError) as e:
+        log.error("%s", e)
+        return 1
+    alpha = None
+    if cfg.alpha == "bicubic":
+        bgra = w2x_io.imread_bgra(args.input_file)
+        if bgra is not None:
+            alpha = bgra[:, :, 3]
+
+    if cfg.mode in ("noise", "noise_scale"):
+        log.info("noise reduction (level %d)", cfg.noise_level)
+    if cfg.mode in ("scale", "noise_scale"):
+        log.info("start scaling (ratio %.6f)", cfg.scale_ratio)
+
+    if args.profile:
+        import jax
+        with jax.profiler.trace(args.profile):
+            out = converter.process_bgr_u8(img)
+    else:
+        out = converter.process_bgr_u8(img)
+
+    if alpha is not None:
+        import numpy as np
+        a = converter.process_alpha(alpha)
+        out = np.concatenate([out, a[:, :, None]], axis=2)
+
+    out_name = args.output_file
+    if out_name == "(auto)":
+        out_name = w2x_io.auto_output_name(
+            args.input_file, cfg.mode, cfg.noise_level, cfg.scale_ratio)
+    w2x_io.imwrite_bgr(out_name, out)
+
+    dt = time.perf_counter() - t0
+    mp = out.shape[0] * out.shape[1] / 1e6
+    log.info("wrote %s (%.2f MP in %.3fs, %.2f MP/s incl. compile)",
+             out_name, mp, dt, mp / dt)
+    log.info("process successfully done!")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

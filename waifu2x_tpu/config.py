@@ -8,7 +8,7 @@ from __future__ import annotations
 import dataclasses
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class Config:
     # --- reference CLI flags (main.cpp:26-61), identical defaults ---
     mode: str = "noise_scale"          # noise | scale | noise_scale
@@ -40,9 +40,11 @@ class Config:
             # mirrors modelUtility::setBlockSize validation
             raise ValueError("block_size must be >= 0")
 
-    def set_block_size_exp2_square(self, exp: int) -> None:
+    def with_block_size_exp2_square(self, exp: int) -> "Config":
         """Power-of-two square block helper, mirroring
-        modelUtility::setBlockSizeExp2Square (modelHandler.cpp:215-220)."""
+        modelUtility::setBlockSizeExp2Square (modelHandler.cpp:215-220).
+        Config is frozen (it is a static jit argument), so this returns a
+        new instance."""
         if exp < 0:
             raise ValueError("exp must be >= 0")
-        self.block_size = 2 ** exp
+        return dataclasses.replace(self, block_size=2 ** exp)

@@ -1,0 +1,90 @@
+"""Host-side image IO + output auto-naming (reference C2, C3).
+
+Decoding/encoding is host work; the reference used OpenCV for it
+(cv::imread/imwrite, main.cpp:74, 190). We use cv2 when present (identical
+codecs and BGR channel order) with a PIL fallback, and keep everything else
+(colorspace, resampling, CNN) on the TPU.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+try:
+    import cv2
+
+    _HAS_CV2 = True
+except ImportError:  # pragma: no cover
+    _HAS_CV2 = False
+
+from PIL import Image
+
+
+def imread_bgr(path: str) -> np.ndarray:
+    """Read an image as uint8 BGR (cv::imread IMREAD_COLOR semantics —
+    drops alpha, 3 channels, BGR order; main.cpp:74)."""
+    if _HAS_CV2:
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:
+            raise FileNotFoundError(f"couldn't read image: {path}")
+        return img
+    img = np.asarray(Image.open(path).convert("RGB"))
+    return img[:, :, ::-1].copy()  # RGB -> BGR
+
+
+def imread_bgra(path: str) -> np.ndarray | None:
+    """Read with alpha preserved if the file has one (for the opt-in alpha
+    pipeline, appendix/hints-jp.md:76-81). Returns uint8 BGRA or None."""
+    if _HAS_CV2:
+        img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        if img is None:
+            raise FileNotFoundError(f"couldn't read image: {path}")
+        if img.ndim == 3 and img.shape[2] == 4:
+            return img
+        return None
+    img = Image.open(path)
+    if img.mode in ("RGBA", "LA", "PA"):
+        rgba = np.asarray(img.convert("RGBA"))
+        return rgba[:, :, [2, 1, 0, 3]].copy()  # RGBA -> BGRA
+    return None
+
+
+def imwrite_bgr(path: str, img_bgr_u8: np.ndarray) -> None:
+    """Write a uint8 BGR (or BGRA) image (cv::imwrite, main.cpp:190)."""
+    if _HAS_CV2:
+        if not cv2.imwrite(path, img_bgr_u8):
+            raise IOError(f"couldn't write image: {path}")
+        return
+    if img_bgr_u8.shape[2] == 4:
+        rgba = img_bgr_u8[:, :, [2, 1, 0, 3]]
+        Image.fromarray(rgba, "RGBA").save(path)
+    else:
+        Image.fromarray(img_bgr_u8[:, :, ::-1]).save(path)
+
+
+def _cpp_double_str(x: float) -> str:
+    """std::to_string(double): fixed notation, 6 decimals (main.cpp:185)."""
+    return f"{x:.6f}"
+
+
+def auto_output_name(input_path: str, mode: str, noise_level: int,
+                     scale_ratio: float) -> str:
+    """Default output filename when -o is omitted, replicating
+    main.cpp:173-189: strip from the LAST dot, then append
+    "(mode)" ["(LevelN)"] ["(xR.RRRRRR)"] ".png"."""
+    tail_dot = input_path.rfind(".")
+    base = input_path[:tail_dot] if tail_dot != -1 else input_path
+    name = f"{base}({mode})"
+    if "noise" in mode:
+        name += f"(Level{noise_level})"
+    if "scale" in mode:
+        name += f"(x{_cpp_double_str(scale_ratio)})"
+    return name + ".png"
+
+
+def default_model_dir() -> str:
+    """Bundled models directory (repo's models/, like the reference's
+    default `models` flag value, main.cpp:56)."""
+    return os.path.join(os.path.dirname(os.path.dirname(__file__)), "models")

@@ -1,0 +1,55 @@
+"""Built-in model management.
+
+The reference ships three trained model files — noise1_model.json,
+noise2_model.json, scale2.0x_model.json (main.cpp:83-85, 116-117) — but the
+blobs are git-LFS objects that are not present in the mirrored repo
+(/root/reference/.MISSING_LARGE_BLOBS). Until the train/ pipeline produces
+real weights, we generate deterministic *identity* models in the same JSON
+schema so every pipeline path runs end-to-end out of the box: each layer
+routes plane 0 through its center tap, so the stack is an exact no-op on
+non-negative luma (LeakyReLU is identity for x >= 0). Files written by this
+module load unmodified in the reference C++ converter too.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from waifu2x_tpu.models.srcnn import ModelSpec, WAIFU2X_7LAYER
+from waifu2x_tpu.models.weights import save_model_json
+
+DEFAULT_MODEL_NAMES = (
+    "noise1_model.json",
+    "noise2_model.json",
+    "scale2.0x_model.json",
+)
+
+
+def identity_params(spec: ModelSpec = WAIFU2X_7LAYER):
+    """An exact-identity conv stack in the reference architecture."""
+    params = []
+    for layer in spec.layers:
+        w = np.zeros((layer.ksize, layer.ksize, layer.cin, layer.cout),
+                     np.float32)
+        c = layer.ksize // 2
+        w[c, c, 0, 0] = 1.0  # pass plane 0 through the center tap
+        b = np.zeros((layer.cout,), np.float32)
+        params.append({"w": w, "b": b})
+    return tuple(params)
+
+
+def ensure_default_models(model_dir: str,
+                          spec: ModelSpec = WAIFU2X_7LAYER) -> list[str]:
+    """Create placeholder identity models for any of the three reference
+    model files that are missing. Returns the list of files written."""
+    os.makedirs(model_dir, exist_ok=True)
+    written = []
+    params = identity_params(spec)
+    for name in DEFAULT_MODEL_NAMES:
+        path = os.path.join(model_dir, name)
+        if not os.path.exists(path):
+            save_model_json(path, params)
+            written.append(path)
+    return written

@@ -54,6 +54,21 @@ _INV = np.array(
 _INV_OFF = (-_INV @ np.array([0.0, _DELTA, _DELTA], np.float32)).astype(np.float32)
 
 
+def _affine3(img: jnp.ndarray, mat: np.ndarray, off: np.ndarray) -> jnp.ndarray:
+    """Per-pixel 3x3 affine transform as unrolled ELEMENTWISE ops.
+
+    Deliberately not a matmul: on TPU a [..., 3] @ [3, 3] contraction would
+    route through the MXU at bf16 default precision (~0.4% error ⇒ ±1 u8
+    level across most pixels); the VPU elementwise form is exact f32.
+    """
+    c0, c1, c2 = img[..., 0], img[..., 1], img[..., 2]
+    outs = [
+        c0 * mat[i, 0] + c1 * mat[i, 1] + c2 * mat[i, 2] + off[i]
+        for i in range(3)
+    ]
+    return jnp.stack(outs, axis=-1)
+
+
 def bgr_to_yuv(img: jnp.ndarray) -> jnp.ndarray:
     """Apply OpenCV's RGB2YUV transform to a float [..., 3] image.
 
@@ -61,13 +76,13 @@ def bgr_to_yuv(img: jnp.ndarray) -> jnp.ndarray:
     main.cpp:74-76 where imread's BGR output goes through COLOR_RGB2YUV.
     The matrix itself treats channel 0 as "R", exactly as OpenCV would.
     """
-    return img @ _FWD.T + _FWD_OFF
+    return _affine3(img, _FWD, _FWD_OFF)
 
 
 def yuv_to_bgr(img: jnp.ndarray) -> jnp.ndarray:
     """Inverse transform (COLOR_YUV2RGB, main.cpp:171); emits the same
     channel order that was fed to bgr_to_yuv (i.e. BGR in the pipeline)."""
-    return img @ _INV.T + _INV_OFF
+    return _affine3(img, _INV, _INV_OFF)
 
 
 def saturate_cast_u8(img: jnp.ndarray) -> jnp.ndarray:
