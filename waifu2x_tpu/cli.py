@@ -84,6 +84,9 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
 
+    from waifu2x_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from waifu2x_tpu.pipeline import Converter  # deferred: imports jax
 
     if args.model_dir is None:
