@@ -1,0 +1,92 @@
+"""Fast (Pallas/polyphase) pipeline vs the reference XLA pipeline.
+
+The fast path must produce the same images as the validated XLA path (which
+tests/test_pipeline.py pins to the cv2-based reference spec): polyphase
+bicubic == resize, and the full 2x step / noise phase / Converter round-trip
+agree to u8 within one quantisation level.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from waifu2x_tpu.config import Config
+from waifu2x_tpu.models.srcnn import WAIFU2X_7LAYER, init_params
+from waifu2x_tpu.ops.resize import CUBIC, LINEAR, resize, resize2x_phases
+from waifu2x_tpu.ops.s2d import d2s_host
+from waifu2x_tpu.pipeline import (
+    Converter,
+    FastStack,
+    scale2x_batch,
+    scale2x_batch_fast,
+    scale2x_batch_u8_s2d,
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(jax.random.PRNGKey(11), WAIFU2X_7LAYER)
+
+
+@pytest.fixture(scope="module")
+def fast(params):
+    return FastStack.build(params, scale_input=True, tile=(16, 8),
+                           interpret=True, dtype=jnp.float32)
+
+
+@pytest.mark.parametrize("interp", [CUBIC, LINEAR])
+def test_resize2x_phases_matches_resize(rng, interp):
+    img = jnp.asarray(rng.random((2, 9, 14, 3), dtype=np.float32))
+    full = resize(img, (18, 28), interp, h_axis=1)
+    ph = resize2x_phases(img, interp, h_axis=1)      # [2, 9, 14, 3, 4]
+    for A in (0, 1):
+        for B in (0, 1):
+            np.testing.assert_allclose(
+                np.asarray(ph[..., A * 2 + B]),
+                np.asarray(full[:, A::2, B::2, :]), rtol=0, atol=1e-6)
+
+
+def test_scale2x_fast_matches_xla(params, fast, rng):
+    yuv = jnp.asarray(rng.random((1, 24, 20, 3), dtype=np.float32))
+    cfg = Config(mode="scale", precision="highest", block_size=0)
+    ref = scale2x_batch(yuv, params, cfg)
+    got = scale2x_batch_fast(yuv, fast)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-4)
+
+
+def test_scale2x_u8_s2d_host_interleave(params, fast, rng):
+    from waifu2x_tpu.ops.color import saturate_cast_u8, yuv_to_bgr
+    yuv = jnp.asarray(rng.random((2, 12, 16, 3), dtype=np.float32))
+    cfg = Config(mode="scale", precision="highest", block_size=0)
+    ref = np.asarray(saturate_cast_u8(yuv_to_bgr(
+        scale2x_batch(yuv, params, cfg))))
+    got = d2s_host(np.asarray(scale2x_batch_u8_s2d(yuv, fast)))
+    diff = np.abs(ref.astype(int) - got.astype(int))
+    assert diff.max() <= 1 and (diff != 0).mean() < 0.01
+
+
+def test_converter_pallas_matches_xla(params, rng, tmp_path):
+    from waifu2x_tpu.models.weights import save_model_json
+    mdl = tmp_path / "models"
+    mdl.mkdir()
+    save_model_json(mdl / "scale2.0x_model.json", params)
+    save_model_json(mdl / "noise1_model.json", params)
+    img = rng.integers(0, 256, (26, 22, 3), np.uint8)
+
+    cfg = Config(mode="noise_scale", model_dir=str(mdl), precision="highest")
+    ref = Converter.from_config(cfg).process_bgr_u8(img)
+
+    cfg_f = Config(mode="noise_scale", model_dir=str(mdl), use_pallas=True)
+    conv = Converter.from_config(cfg_f)
+    # CPU test: rebuild the fast stacks in f32 + interpreter explicitly
+    conv.fast_noise = FastStack.build(params, scale_input=False,
+                                      tile=(16, 8), interpret=True,
+                                      dtype=jnp.float32)
+    conv.fast_scale = FastStack.build(params, scale_input=True,
+                                      tile=(16, 8), interpret=True,
+                                      dtype=jnp.float32)
+    got = conv.process_bgr_u8(img)
+    diff = np.abs(ref.astype(int) - got.astype(int))
+    assert diff.max() <= 1 and (diff != 0).mean() < 0.01

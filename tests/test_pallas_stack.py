@@ -1,0 +1,55 @@
+"""Fused Pallas kernels vs the reference-exact conv stack (interpret mode).
+
+Runs the real kernel bodies through the Pallas interpreter on CPU (same
+code path the TPU compiles), asserting exact agreement with conv_stack_valid
+— including tile-grid edges, replicate padding and odd image sizes.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from waifu2x_tpu.models.srcnn import WAIFU2X_7LAYER, init_params
+from waifu2x_tpu.ops.convstack import convert_plane
+from waifu2x_tpu.ops.pallas_stack import prep_params, stack_noise, stack_scale
+from waifu2x_tpu.ops.s2d import d2s
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(jax.random.PRNGKey(3), WAIFU2X_7LAYER)
+
+
+@pytest.fixture(scope="module")
+def kp(params):
+    return prep_params(params, scale_input=True, dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def kp_noise(params):
+    return prep_params(params, scale_input=False, dtype=jnp.float32)
+
+
+@pytest.mark.parametrize("hl,wl,tile",
+                         [(16, 16, (8, 8)), (13, 22, (16, 8)), (9, 9, (16, 16))])
+def test_stack_scale_matches_reference(params, kp, rng, hl, wl, tile):
+    ylow = rng.random((2, hl, wl), dtype=np.float32)
+    up = np.repeat(np.repeat(ylow, 2, axis=1), 2, axis=2)
+    ref = convert_plane(jnp.asarray(up), params, precision="highest")
+    arrays, spec = kp
+    got = stack_scale(jnp.asarray(ylow), arrays, spec, tile=tile,
+                      interpret=True)
+    got_full = d2s(got)[..., 0]
+    np.testing.assert_allclose(np.asarray(got_full), np.asarray(ref),
+                               rtol=0, atol=3e-5)
+
+
+@pytest.mark.parametrize("h,w,tile", [(32, 32, (8, 8)), (27, 38, (8, 16))])
+def test_stack_noise_matches_reference(params, kp_noise, rng, h, w, tile):
+    y = rng.random((1, h, w), dtype=np.float32)
+    ref = convert_plane(jnp.asarray(y), params, precision="highest")
+    arrays, spec = kp_noise
+    got = stack_noise(jnp.asarray(y), arrays, spec, tile=tile, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=3e-5)

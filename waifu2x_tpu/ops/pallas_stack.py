@@ -1,0 +1,360 @@
+"""Fused Pallas TPU kernels for the polyphase 7-layer conv stack.
+
+This is the performance core of the framework — the TPU replacement for the
+reference's hot loop (modelHandler.cpp:117-159: 32,672 single-plane 3x3
+filter2D passes per 512x512 block) and for XLA's generic conv lowering,
+which runs this stack at ~45 MXU passes/px. The polyphase math (ops/s2d.py)
+needs only ~23: every 3x3 layer becomes shift-and-matmul in space-to-depth
+layout with the contraction dim packed to >=128 lanes.
+
+Two kernels, each fusing several layers so activations never leave VMEM:
+
+  K1 (layers 1-4):  xcol [N,.,.,16] -> X4 in s2d layout [N,.,.,256]
+      L1 is a single 1x1 matmul over the precomputed 3x3 im2col of the raw
+      LOW-RES plane (scale path; the nearest-2x upscale is algebraically
+      folded away — see pack_l1_scale) or of the 4-lane s2d input (noise
+      path). L2-L4 are 4-tap shift-matmuls with dense packed W2.
+
+  K2 (layers 5-7):  X4 [N,.,.,256] -> Y in s2d layout [N,.,.,4]
+      L5/L6 use the phase-sparse decomposition (6 resp. 9 MXU passes/px,
+      skipping the structural zeros of W2). L7 is the block-diagonal tap
+      matmul + 0/1 selection matmul shift-sum.
+
+Tiling: 2-D spatial tiles on the s2d (= low-res) grid, batch in the grid.
+Valid convs look "forward" only, so halos are one-sided: an output tile of
+TAU rows needs TAU+6 input rows in K1 and TAU+3 in K2. K1 reads its
+overlapping input tile by manual DMA from HBM (it is a 16-lane map — tiny);
+K1 writes X4 as *disjoint* (TAU+3)-sized blocks (each carrying the halo K2
+needs), so K2 runs entirely on automatically pipelined BlockSpecs. All
+matmuls run in bf16 with f32 accumulation on the MXU; cross-tap sums, bias
+and LeakyReLU(0.1) are f32.
+
+Numerics and semantics are proven equal to the reference conv stack
+(conv_stack_valid) via ops/s2d.py in tests/test_s2d.py and directly in
+tests/test_pallas_stack.py (interpret mode on CPU; real kernels on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from waifu2x_tpu.ops import s2d as s2d_ops
+
+DEF_TILE = (256, 64)   # s2d-grid tile (rows, cols); rows are unconstrained,
+#                        cols pay an 8-sublane alignment pad, so tall tiles
+#                        minimise halo+pad overhead per byte of VMEM
+VMEM_LIMIT = 100 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
+# packing (host, numpy) — kernel-shaped weight tensors
+# ---------------------------------------------------------------------------
+
+def pack_mid_kernel(w) -> tuple[np.ndarray, tuple]:
+    """Phase-sparse mid layer (3x3, ci->co) packed for the kernel.
+
+    Returns (wcat [4, 9*ci, co], spec): per output phase p=A*2+B, wcat[p]
+    stacks the non-zero K-rows of all matmul groups; spec[p] is a tuple of
+    (Dy, Dx, lane_lo, lane_hi, k0) — read input lanes [lane_lo:lane_hi) at
+    block shift (Dy, Dx), multiply by wcat[p, k0:k0+(lane_hi-lane_lo)].
+    """
+    w = np.asarray(w, np.float32)
+    ci, co = w.shape[2], w.shape[3]
+    groups = s2d_ops.phase_groups(w)
+    wcat = np.zeros((4, 9 * ci, co), np.float32)
+    spec = []
+    for p, glist in enumerate(groups):
+        k0 = 0
+        entries = []
+        for (Dy, Dx, lo, hi, wm) in glist:
+            k = hi - lo
+            wcat[p, k0:k0 + k] = wm
+            entries.append((Dy, Dx, lo, hi, k0))
+            k0 += k
+        assert k0 == 9 * ci
+        spec.append(tuple(entries))
+    return wcat, tuple(spec)
+
+
+def pack_for_kernels(params, scale_input: bool) -> tuple[dict, tuple]:
+    """Pack a 7-layer pytree into the arrays the Pallas kernels consume.
+
+    Returns (arrays, static_spec). arrays values are numpy f32; cast/upload
+    once per model via `prep_params`.
+    """
+    packed = s2d_ops.pack_stack(params, scale_input)
+    w = [np.asarray(p["w"], np.float32) for p in params]
+    l1 = np.zeros((128, 128), np.float32)             # K padded to the 128
+    l1[: packed["l1"].shape[0]] = packed["l1"]        # lane tile (DMA needs
+    #                                                   128-lane alignment)
+    arrays = {
+        "l1": l1, "b1": packed["b1"][None],
+        "w2a": packed["w2"][0]["w"].reshape(4, 128, 128),
+        "b2a": packed["w2"][0]["b"][None],
+        "w2b": packed["w2"][1]["w"].reshape(4, 128, 256),
+        "b2b": packed["w2"][1]["b"][None],
+        "w2c": packed["w2"][2]["w"].reshape(4, 256, 256),
+        "b2c": packed["w2"][2]["b"][None],
+        "b5": packed["mid"][0]["b"][None],
+        "b6": packed["mid"][1]["b"][None],
+        "l7_blk": packed["l7_blk"], "l7_sel": packed["l7_sel"],
+        "b7": np.asarray(packed["b7"], np.float32).reshape(1, 1),
+    }
+    arrays["w5"], spec5 = pack_mid_kernel(w[4])
+    arrays["w6"], spec6 = pack_mid_kernel(w[5])
+    return arrays, (spec5, spec6)
+
+
+def prep_params(params, scale_input: bool, dtype=jnp.bfloat16):
+    """Device-ready kernel params: (dict of jax arrays, static spec).
+    Biases stay f32 (accumulation dtype); weights cast to `dtype`."""
+    arrays, spec = pack_for_kernels(params, scale_input)
+    out = {}
+    for k, v in arrays.items():
+        keep_f32 = k.startswith("b") or k == "l7_sel"  # sel multiplies the
+        out[k] = jnp.asarray(v, jnp.float32 if keep_f32 else dtype)
+    return out, spec                                   # f32 tap partials
+
+
+# ---------------------------------------------------------------------------
+# kernel bodies
+# ---------------------------------------------------------------------------
+
+def _dot3(x, w):
+    """[h, w, K] @ [K, N] -> f32 [h, w, N] on the MXU."""
+    return jax.lax.dot_general(
+        x, w, dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _leaky(x):
+    return jnp.maximum(x, 0) + jnp.float32(0.1) * jnp.minimum(x, 0)
+
+
+def _k1_body(tr, tc, cdtype,
+             xcol_hbm, l1_ref, b1_ref, w2a_ref, b2a_ref, w2b_ref, b2b_ref,
+             w2c_ref, b2c_ref, out_ref, xin, x1, x2, x3, sem):
+    # Mosaic alignment: the sublane (second-minor) dim of every HBM slice,
+    # VMEM slice and store must be a multiple of 8, so all buffers carry
+    # tau+16 columns and compute runs at width tau+8; the columns beyond
+    # tau+3 are padding/garbage that downstream stages never read (the
+    # valid-conv halo is one-sided, so junk only ever propagates rightward
+    # within the pad region). Row (untiled) dims are exact.
+    n = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    wi = tc + 16
+    wc = tc + 8
+    dma = pltpu.make_async_copy(
+        xcol_hbm.at[n, pl.ds(i * tr, tr + 6), pl.ds(j * tc, wi), :],
+        xin, sem)
+    dma.start()
+    dma.wait()
+    # L1: one matmul over the (padded) 16-lane im2col
+    x1[:] = _leaky(_dot3(xin[:], l1_ref[:]) + b1_ref[0]).astype(cdtype)
+    # L2-L4: 4-tap shift-matmuls with dense packed W2
+    def block4(src, w_ref, b_ref, rows):
+        acc = _dot3(src[0:rows, 0:wc, :], w_ref[0])
+        acc += _dot3(src[0:rows, 1:wc + 1, :], w_ref[1])
+        acc += _dot3(src[1:rows + 1, 0:wc, :], w_ref[2])
+        acc += _dot3(src[1:rows + 1, 1:wc + 1, :], w_ref[3])
+        return _leaky(acc + b_ref[0]).astype(cdtype)
+
+    x2[:, 0:wc, :] = block4(x1, w2a_ref, b2a_ref, tr + 5)
+    x3[:, 0:wc, :] = block4(x2, w2b_ref, b2b_ref, tr + 4)
+    out_ref[0, :, 0:wc, :] = block4(x3, w2c_ref, b2c_ref, tr + 3)
+
+
+def _mid_sparse(src, w_ref, b_ref, spec, rows, wc, co, cdtype, dst):
+    """One phase-sparse mid layer: src [rows+1, >=wc+1, 4ci] -> dst
+    [rows, wc, 4co] (written per-phase in lane chunks of co)."""
+    for p, entries in enumerate(spec):
+        acc = None
+        for (Dy, Dx, lo, hi, k0) in entries:
+            part = _dot3(src[Dy:Dy + rows, Dx:Dx + wc, lo:hi],
+                         w_ref[p, k0:k0 + (hi - lo), :])
+            acc = part if acc is None else acc + part
+        dst[:, 0:wc, p * co:(p + 1) * co] = _leaky(
+            acc + b_ref[0, p * co:(p + 1) * co]).astype(cdtype)
+
+
+def _k2_body(tr, tc, cdtype, spec5, spec6,
+             x4_ref, w5_ref, b5_ref, w6_ref, b6_ref, blk_ref, sel_ref,
+             b7_ref, out_ref, x5, zt):
+    wc = tc + 8
+    x4 = x4_ref[0]
+    _mid_sparse(x4, w5_ref, b5_ref, spec5, tr + 2, wc, 128, cdtype, x5)
+    # L6 fused with L7's block-diagonal tap matmul, one output phase at a
+    # time: the full 512-lane X6 never exists (VMEM), and the tap partials
+    # stay f32 (zt is the only intermediate the XLA path doesn't round to
+    # bf16 — keeping it f32 preserves the stack's 54+ dB fidelity).
+    rows = tr + 1
+    zparts = []
+    for p, entries in enumerate(spec6):
+        acc = None
+        for (Dy, Dx, lo, hi, k0) in entries:
+            part = _dot3(x5[Dy:Dy + rows, Dx:Dx + wc, lo:hi],
+                         w6_ref[p, k0:k0 + (hi - lo), :])
+            acc = part if acc is None else acc + part
+        x6p = _leaky(acc + b6_ref[0, p * 128:(p + 1) * 128]).astype(cdtype)
+        zparts.append(_dot3(x6p, blk_ref[p * 128:(p + 1) * 128,
+                                         p * 16:(p + 1) * 16]))
+    zt[:, 0:wc, :] = jnp.concatenate(zparts, axis=-1)
+    y = None
+    for Dy in (0, 1):
+        for Dx in (0, 1):
+            part = _dot3(zt[Dy:Dy + tr, Dx:Dx + tc, :],
+                         sel_ref[(Dy * 2 + Dx) * 64:(Dy * 2 + Dx + 1) * 64, :])
+            y = part if y is None else y + part
+    out_ref[0] = _leaky(y + b7_ref[0, 0]).astype(cdtype)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+def _full(shape, dtype=None):
+    """Constant-index full-array VMEM spec (fetched once, reused)."""
+    return pl.BlockSpec(shape, lambda n, i, j: (0,) * len(shape),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tr", "tc", "ny", "nx", "spec5", "spec6", "interpret"))
+def _run_stack(xcol, kp, tr, tc, ny, nx, spec5, spec6, interpret=False):
+    n = xcol.shape[0]
+    cdtype = xcol.dtype
+    hb, wb = tr + 3, tc + 16            # X4 handoff block (one-sided halo 3,
+    #                                     width padded for 8-sublane slices)
+    x4 = pl.pallas_call(
+        functools.partial(_k1_body, tr, tc, cdtype),
+        grid=(n, ny, nx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            _full((128, 128)), _full((1, 128)),
+            _full((4, 128, 128)), _full((1, 128)),
+            _full((4, 128, 256)), _full((1, 256)),
+            _full((4, 256, 256)), _full((1, 256)),
+        ],
+        out_specs=pl.BlockSpec((1, hb, wb, 256),
+                               lambda nn, i, j: (nn, i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, ny * hb, nx * wb, 256), cdtype),
+        scratch_shapes=[
+            pltpu.VMEM((tr + 6, tc + 16, 128), cdtype),
+            pltpu.VMEM((tr + 6, tc + 16, 128), cdtype),
+            pltpu.VMEM((tr + 5, tc + 16, 128), cdtype),
+            pltpu.VMEM((tr + 4, tc + 16, 256), cdtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(xcol, kp["l1"], kp["b1"], kp["w2a"], kp["b2a"], kp["w2b"], kp["b2b"],
+      kp["w2c"], kp["b2c"])
+
+    y = pl.pallas_call(
+        functools.partial(_k2_body, tr, tc, cdtype, spec5, spec6),
+        grid=(n, ny, nx),
+        in_specs=[
+            pl.BlockSpec((1, hb, wb, 256), lambda nn, i, j: (nn, i, j, 0),
+                         memory_space=pltpu.VMEM),
+            _full((4, 576, 128)), _full((1, 512)),
+            _full((4, 1152, 128)), _full((1, 512)),
+            _full((512, 64)), _full((256, 4)),
+            pl.BlockSpec((1, 1), lambda nn, i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tr, tc, 4),
+                               lambda nn, i, j: (nn, i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, ny * tr, nx * tc, 4), cdtype),
+        scratch_shapes=[
+            pltpu.VMEM((tr + 2, tc + 16, 512), cdtype),
+            pltpu.VMEM((tr + 1, tc + 16, 64), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(x4, kp["w5"], kp["b5"], kp["w6"], kp["b6"], kp["l7_blk"],
+      kp["l7_sel"], kp["b7"])
+    return y
+
+
+def _grid_for(hl: int, wl: int, tr: int, tc: int) -> tuple[int, int]:
+    return -(-hl // tr), -(-wl // tc)
+
+
+@functools.partial(jax.jit, static_argnames=("tr", "tc"))
+def _xcol_scale(ylow, tr, tc):
+    """Edge-pad the low-res plane to the tile grid and build the 16-lane
+    3x3 im2col (lanes 9-15 zero) consumed by K1."""
+    n, hl, wl = ylow.shape
+    ny, nx = _grid_for(hl, wl, tr, tc)
+    hp, wp = ny * tr, nx * tc
+    # widths carry +16 so K1's DMA slices stay 8-sublane aligned
+    yp = jnp.pad(ylow, ((0, 0), (4, 4 + hp - hl), (4, 14 + wp - wl)),
+                 mode="edge")
+    taps = [yp[:, dy:hp + 6 + dy, dx:wp + 16 + dx]
+            for dy in range(3) for dx in range(3)]
+    x = jnp.stack(taps, axis=-1)
+    return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 128 - 9)))
+
+
+@functools.partial(jax.jit, static_argnames=("tr", "tc"))
+def _xcol_noise(y, tr, tc):
+    """Full-res plane -> 16-lane s2d im2col (K row order (Dy*2+Dx)*4+(a*2+b),
+    matching pack_l1_noise). y: [N, h, w] with h, w even."""
+    n, h, w = y.shape
+    hl, wl = h // 2, w // 2
+    ny, nx = _grid_for(hl, wl, tr, tc)
+    hp, wp = ny * tr, nx * tc
+    yp = jnp.pad(y, ((0, 0), (7, 7 + 2 * (hp - hl)),
+                     (7, 27 + 2 * (wp - wl))), mode="edge")
+    x0 = s2d_ops.s2d(yp[..., None])                 # [N, hp+7, wp+17, 4]
+    cols = [x0[:, Dy:hp + 6 + Dy, Dx:wp + 16 + Dx, :]
+            for Dy in (0, 1) for Dx in (0, 1)]
+    x = jnp.concatenate(cols, axis=-1)              # [N, hp+6, wp+16, 16]
+    return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 128 - 16)))
+
+
+def stack_scale(ylow: jax.Array, kernel_params, spec,
+                tile: tuple[int, int] = DEF_TILE,
+                interpret: bool = False) -> jax.Array:
+    """SCALE-path fused stack: low-res luma [N, hl, wl] -> converted Y in
+    s2d layout [N, hl, wl, 4] (channel (A*2+B) = full-res pixel (2i+A, 2j+B);
+    equals the reference's nearest-2x + pad-7 + 7-layer stack)."""
+    tr, tc = tile
+    n, hl, wl = ylow.shape
+    ny, nx = _grid_for(hl, wl, tr, tc)
+    xcol = _xcol_scale(ylow, tr, tc)
+    y = _run_stack(xcol, kernel_params, tr, tc, ny, nx, spec[0], spec[1],
+                   interpret=interpret)
+    return y[:, :hl, :wl, :]
+
+
+def stack_noise(y: jax.Array, kernel_params, spec,
+                tile: tuple[int, int] = DEF_TILE,
+                interpret: bool = False) -> jax.Array:
+    """NOISE-path fused stack: [N, h, w] -> same-size converted plane.
+    Odd sizes are edge-padded to even first (replicate-pad composition
+    keeps the interior bit-identical — convertRoutine.cpp:35-36 semantics).
+    """
+    tr, tc = tile
+    n, h, w = y.shape
+    he, we = h + (h % 2), w + (w % 2)
+    if (he, we) != (h, w):
+        y = jnp.pad(y, ((0, 0), (0, he - h), (0, we - w)), mode="edge")
+    hl, wl = he // 2, we // 2
+    ny, nx = _grid_for(hl, wl, tr, tc)
+    xcol = _xcol_noise(y, tr, tc)
+    ys = _run_stack(xcol, kernel_params, tr, tc, ny, nx, spec[0], spec[1],
+                    interpret=interpret)
+    out = s2d_ops.d2s(ys[:, :hl, :wl, :])[..., 0]
+    return out[:, :h, :w]

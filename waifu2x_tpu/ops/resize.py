@@ -112,3 +112,27 @@ def resize_np(img: np.ndarray, dsize: tuple[int, int],
               interpolation: str = LINEAR) -> np.ndarray:
     """NumPy twin of `resize` for host-side tooling and oracles."""
     return np.asarray(resize(jnp.asarray(img), dsize, interpolation))
+
+
+@partial(jax.jit, static_argnames=("interpolation", "h_axis"))
+def resize2x_phases(img: jax.Array, interpolation: str = CUBIC,
+                    h_axis: int = 0) -> jax.Array:
+    """Polyphase 2x upsample: same arithmetic as resize(img, (2H, 2W)) but
+    emitting the four parity phases as a trailing axis instead of an
+    interleaved full-res image — the s2d-layout form the Pallas fast path
+    (ops/pallas_stack.py) runs in, with no device-side interleave.
+
+    img [..., H, W, C...] -> [..., H, W, C..., 4] where phase index A*2+B
+    equals full-res pixel (2i+A, 2j+B). Exactly matches `resize` per pixel
+    (identical tap plans, restricted per parity; vertical then horizontal).
+    """
+    sh, sw = img.shape[h_axis], img.shape[h_axis + 1]
+    rows = []
+    idx_v, w_v = _axis_plan(2 * sh, sh, interpolation)
+    idx_h, w_h = _axis_plan(2 * sw, sw, interpolation)
+    for A in (0, 1):
+        r = _resample_axis(img, h_axis, idx_v[A::2], w_v[A::2])
+        for B in (0, 1):
+            rows.append(_resample_axis(r, h_axis + 1, idx_h[B::2],
+                                       w_h[B::2]))
+    return jnp.stack(rows, axis=-1)

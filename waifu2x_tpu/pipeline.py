@@ -33,7 +33,14 @@ from waifu2x_tpu.ops.color import (
     yuv_to_bgr,
 )
 from waifu2x_tpu.ops.convstack import convert_plane
-from waifu2x_tpu.ops.resize import CUBIC, LINEAR, NEAREST, resize
+from waifu2x_tpu.ops.resize import (
+    CUBIC,
+    LINEAR,
+    NEAREST,
+    resize,
+    resize2x_phases,
+)
+from waifu2x_tpu.ops.s2d import d2s, d2s_host
 from waifu2x_tpu.parallel.tiles import plan_tiles, tiled_convert
 
 
@@ -118,6 +125,83 @@ def noise_batch(yuv: jax.Array, params, cfg: Config) -> jax.Array:
     return yuv.at[..., 0].set(y)
 
 
+# ---------------------------------------------------------------------------
+# Pallas fast path (TPU): the whole 2x step runs on the LOW-RES grid in
+# polyphase (s2d) layout — fused kernels for the conv stack
+# (ops/pallas_stack.py), polyphase bicubic for U/V, and BGR/u8 conversion
+# per phase. The full-res image is only ever interleaved on the host (u8
+# reshape) or once per extra scale iteration (d2s on device).
+# ---------------------------------------------------------------------------
+
+def _fast_import():
+    from waifu2x_tpu.ops import pallas_stack  # deferred: TPU-only kernels
+    return pallas_stack
+
+
+@dataclasses.dataclass(frozen=True)
+class FastStack:
+    """Device-ready fused-kernel parameters for one model."""
+
+    kp: dict
+    spec: tuple
+    tile: tuple[int, int]
+    interpret: bool = False
+
+    @classmethod
+    def build(cls, params, scale_input: bool, tile=None,
+              interpret: bool = False, dtype=jnp.bfloat16) -> "FastStack":
+        ps = _fast_import()
+        kp, spec = ps.prep_params(params, scale_input, dtype=dtype)
+        # off-TPU the kernels run through the Pallas interpreter (tests, CI);
+        # the axon remote-TPU platform reports device_kind "TPU v5 lite"
+        is_tpu = any("TPU" in d.device_kind for d in jax.devices())
+        interpret = interpret or not is_tpu
+        return cls(kp, spec, tile or ps.DEF_TILE, interpret)
+
+    @property
+    def dtype(self):
+        return self.kp["l1"].dtype
+
+    def scale(self, ylow: jax.Array) -> jax.Array:
+        ps = _fast_import()
+        return ps.stack_scale(ylow.astype(self.dtype), self.kp, self.spec,
+                              self.tile, interpret=self.interpret)
+
+    def noise(self, y: jax.Array) -> jax.Array:
+        ps = _fast_import()
+        return ps.stack_noise(y.astype(self.dtype), self.kp, self.spec,
+                              self.tile, interpret=self.interpret)
+
+
+def scale2x_yuv_s2d(yuv: jax.Array, fast: FastStack) -> jax.Array:
+    """One 2x iteration entirely on the low-res grid: f32 YUV [N, h, w, 3]
+    -> f32 YUV in polyphase layout [N, h, w, 4, 3] (phase A*2+B = full-res
+    pixel (2i+A, 2j+B)). Same math as _scale_step: Y through the conv stack
+    (nearest-2x folded in), U/V through polyphase bicubic."""
+    y_s2d = fast.scale(yuv[..., 0]).astype(yuv.dtype)       # [N, h, w, 4]
+    uv = resize2x_phases(yuv[..., 1:3], CUBIC, h_axis=1)    # [N, h, w, 2, 4]
+    uv = jnp.swapaxes(uv, -1, -2)                           # [N, h, w, 4, 2]
+    return jnp.concatenate([y_s2d[..., None], uv], axis=-1)
+
+
+def scale2x_batch_u8_s2d(yuv: jax.Array, fast: FastStack) -> jax.Array:
+    """Throughput-mode 2x step: f32 YUV [N, h, w, 3] -> uint8 BGR in
+    polyphase layout [N, h, w, 12] (channel (A*2+B)*3 + c). The host
+    interleave to [N, 2h, 2w, 3] is a zero-flop u8 reshape (d2s_host)."""
+    out = yuv_to_bgr(scale2x_yuv_s2d(yuv, fast))
+    u8 = saturate_cast_u8(out)
+    n, h, w = u8.shape[:3]
+    return u8.reshape(n, h, w, 12)
+
+
+def scale2x_batch_fast(yuv: jax.Array, fast: FastStack) -> jax.Array:
+    """Fast-path twin of scale2x_batch: f32 YUV [N,h,w,3] -> [N,2h,2w,3]
+    (device-side interleave; used when further scale iterations follow)."""
+    s2d_out = scale2x_yuv_s2d(yuv, fast)
+    n, h, w = s2d_out.shape[:3]
+    return d2s(s2d_out.reshape(n, h, w, 12))
+
+
 @jax.jit
 def _to_yuv(bgr_u8: jax.Array) -> jax.Array:
     return bgr_to_yuv(u8_to_unit_f32(bgr_u8))
@@ -136,25 +220,39 @@ class Converter:
     cfg: Config
     noise_params: tuple | None = None
     scale_params: tuple | None = None
+    fast_noise: "FastStack | None" = None
+    fast_scale: "FastStack | None" = None
 
     @classmethod
     def from_config(cls, cfg: Config) -> "Converter":
         noise_params = scale_params = None
+        fast_noise = fast_scale = None
         if cfg.mode in ("noise", "noise_scale"):
             noise_params = load_model_json(
                 model_file_for(cfg.model_dir, True, cfg.noise_level))
+            if cfg.use_pallas:
+                fast_noise = FastStack.build(noise_params, scale_input=False)
         if cfg.mode in ("scale", "noise_scale"):
             scale_params = load_model_json(model_file_for(cfg.model_dir, False))
-        return cls(cfg, noise_params, scale_params)
+            if cfg.use_pallas:
+                fast_scale = FastStack.build(scale_params, scale_input=True)
+        return cls(cfg, noise_params, scale_params, fast_noise, fast_scale)
 
     def process_yuv(self, yuv: jax.Array) -> jax.Array:
         cfg = self.cfg
         if self.noise_params is not None:
-            yuv = _noise_phase(yuv, self.noise_params, cfg)
+            if self.fast_noise is not None:
+                y = self.fast_noise.noise(yuv[None, :, :, 0])[0]
+                yuv = yuv.at[:, :, 0].set(y.astype(yuv.dtype))
+            else:
+                yuv = _noise_phase(yuv, self.noise_params, cfg)
         if self.scale_params is not None:
             iters, shrink = scale_plan(cfg.scale_ratio)
             for _ in range(iters):
-                yuv = _scale_step(yuv, self.scale_params, cfg)
+                if self.fast_scale is not None:
+                    yuv = scale2x_batch_fast(yuv[None], self.fast_scale)[0]
+                else:
+                    yuv = _scale_step(yuv, self.scale_params, cfg)
             if shrink != 0.0:
                 h, w, _ = yuv.shape
                 # int truncation as in main.cpp:160-165
