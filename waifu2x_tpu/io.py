@@ -1,9 +1,13 @@
 """Host-side image IO + output auto-naming (reference C2, C3).
 
 Decoding/encoding is host work; the reference used OpenCV for it
-(cv::imread/imwrite, main.cpp:74, 190). We use cv2 when present (identical
-codecs and BGR channel order) with a PIL fallback, and keep everything else
-(colorspace, resampling, CNN) on the TPU.
+(cv::imread/imwrite, main.cpp:74, 190). Codec preference order:
+  1. the native C++ runtime (native/w2x_host.cpp via waifu2x_tpu.native —
+     libpng/libjpeg, BGR order, threaded batch decode), like the
+     reference's native OpenCV codecs;
+  2. cv2 when installed (identical codecs/order);
+  3. PIL (pure-Python fallback so the framework always works).
+Everything else (colorspace, resampling, CNN) runs on the TPU.
 """
 
 from __future__ import annotations
@@ -11,6 +15,8 @@ from __future__ import annotations
 import os
 
 import numpy as np
+
+from waifu2x_tpu import native
 
 try:
     import cv2
@@ -25,6 +31,12 @@ from PIL import Image
 def imread_bgr(path: str) -> np.ndarray:
     """Read an image as uint8 BGR (cv::imread IMREAD_COLOR semantics —
     drops alpha, 3 channels, BGR order; main.cpp:74)."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"couldn't read image: {path}")
+    if native.available():
+        img = native.imread(path)
+        if img is not None:
+            return img
     if _HAS_CV2:
         img = cv2.imread(path, cv2.IMREAD_COLOR)
         if img is None:
@@ -37,6 +49,12 @@ def imread_bgr(path: str) -> np.ndarray:
 def imread_bgra(path: str) -> np.ndarray | None:
     """Read with alpha preserved if the file has one (for the opt-in alpha
     pipeline, appendix/hints-jp.md:76-81). Returns uint8 BGRA or None."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"couldn't read image: {path}")
+    if native.available():
+        img = native.imread(path, keep_alpha=True)
+        if img is not None:
+            return img if img.shape[2] == 4 else None
     if _HAS_CV2:
         img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
         if img is None:
@@ -51,8 +69,23 @@ def imread_bgra(path: str) -> np.ndarray | None:
     return None
 
 
+def imread_batch_bgr(paths: list[str], jobs: int = 4) -> list[np.ndarray]:
+    """Decode many images (native thread pool when available — the host
+    analogue of the reference's -j/nJob worker fan-out, main.cpp:79)."""
+    results: list[np.ndarray | None] = [None] * len(paths)
+    if native.available():
+        decoded = native.decode_batch(paths, threads=jobs)
+        if decoded is not None:
+            results = decoded
+    return [r if r is not None else imread_bgr(p)
+            for p, r in zip(paths, results)]
+
+
 def imwrite_bgr(path: str, img_bgr_u8: np.ndarray) -> None:
     """Write a uint8 BGR (or BGRA) image (cv::imwrite, main.cpp:190)."""
+    if (path.lower().endswith(".png") and native.available()
+            and native.imwrite_png(path, img_bgr_u8)):
+        return
     if _HAS_CV2:
         if not cv2.imwrite(path, img_bgr_u8):
             raise IOError(f"couldn't write image: {path}")

@@ -140,7 +140,7 @@ def _leaky(x):
 
 def _k1_body(tr, tc, cdtype,
              xcol_hbm, l1_ref, b1_ref, w2a_ref, b2a_ref, w2b_ref, b2b_ref,
-             w2c_ref, b2c_ref, out_ref, xin, x1, x2, x3, sem):
+             w2c_ref, b2c_ref, out_ref, xin, x1, x2, x3, acc, sem):
     # Mosaic alignment: the sublane (second-minor) dim of every HBM slice,
     # VMEM slice and store must be a multiple of 8, so all buffers carry
     # tau+16 columns and compute runs at width tau+8; the columns beyond
@@ -159,54 +159,65 @@ def _k1_body(tr, tc, cdtype,
     dma.wait()
     # L1: one matmul over the (padded) 16-lane im2col
     x1[:] = _leaky(_dot3(xin[:], l1_ref[:]) + b1_ref[0]).astype(cdtype)
-    # L2-L4: 4-tap shift-matmuls with dense packed W2
+    # L2-L4: 4-tap shift-matmuls with dense packed W2. Tap partials
+    # accumulate IN PLACE into one f32 scratch — accumulating by value made
+    # Mosaic hold every partial product alive at once (>100 MB of scoped
+    # VMEM at useful tile sizes).
     def block4(src, w_ref, b_ref, rows):
-        acc = _dot3(src[0:rows, 0:wc, :], w_ref[0])
-        acc += _dot3(src[0:rows, 1:wc + 1, :], w_ref[1])
-        acc += _dot3(src[1:rows + 1, 0:wc, :], w_ref[2])
-        acc += _dot3(src[1:rows + 1, 1:wc + 1, :], w_ref[3])
-        return _leaky(acc + b_ref[0]).astype(cdtype)
+        co = w_ref.shape[2]
+        a = acc.at[0:rows, 0:wc, 0:co]
+        a[...] = _dot3(src[0:rows, 0:wc, :], w_ref[0])
+        a[...] += _dot3(src[0:rows, 1:wc + 1, :], w_ref[1])
+        a[...] += _dot3(src[1:rows + 1, 0:wc, :], w_ref[2])
+        a[...] += _dot3(src[1:rows + 1, 1:wc + 1, :], w_ref[3])
+        return _leaky(a[...] + b_ref[0]).astype(cdtype)
 
     x2[:, 0:wc, :] = block4(x1, w2a_ref, b2a_ref, tr + 5)
     x3[:, 0:wc, :] = block4(x2, w2b_ref, b2b_ref, tr + 4)
     out_ref[0, :, 0:wc, :] = block4(x3, w2c_ref, b2c_ref, tr + 3)
 
 
-def _mid_sparse(src, w_ref, b_ref, spec, rows, wc, co, cdtype, dst):
+def _mid_sparse(src, w_ref, b_ref, spec, rows, wc, co, cdtype, dst, acc):
     """One phase-sparse mid layer: src [rows+1, >=wc+1, 4ci] -> dst
-    [rows, wc, 4co] (written per-phase in lane chunks of co)."""
+    [rows, wc, 4co] (written per-phase in lane chunks of co); `acc` is a
+    reused f32 scratch for the in-place group accumulation."""
     for p, entries in enumerate(spec):
-        acc = None
-        for (Dy, Dx, lo, hi, k0) in entries:
+        a = acc.at[0:rows, 0:wc, 0:co]
+        for g, (Dy, Dx, lo, hi, k0) in enumerate(entries):
             part = _dot3(src[Dy:Dy + rows, Dx:Dx + wc, lo:hi],
                          w_ref[p, k0:k0 + (hi - lo), :])
-            acc = part if acc is None else acc + part
+            if g == 0:
+                a[...] = part
+            else:
+                a[...] += part
         dst[:, 0:wc, p * co:(p + 1) * co] = _leaky(
-            acc + b_ref[0, p * co:(p + 1) * co]).astype(cdtype)
+            a[...] + b_ref[0, p * co:(p + 1) * co]).astype(cdtype)
 
 
 def _k2_body(tr, tc, cdtype, spec5, spec6,
              x4_ref, w5_ref, b5_ref, w6_ref, b6_ref, blk_ref, sel_ref,
-             b7_ref, out_ref, x5, zt):
+             b7_ref, out_ref, x5, zt, acc):
     wc = tc + 8
     x4 = x4_ref[0]
-    _mid_sparse(x4, w5_ref, b5_ref, spec5, tr + 2, wc, 128, cdtype, x5)
+    _mid_sparse(x4, w5_ref, b5_ref, spec5, tr + 2, wc, 128, cdtype, x5, acc)
     # L6 fused with L7's block-diagonal tap matmul, one output phase at a
     # time: the full 512-lane X6 never exists (VMEM), and the tap partials
     # stay f32 (zt is the only intermediate the XLA path doesn't round to
     # bf16 — keeping it f32 preserves the stack's 54+ dB fidelity).
     rows = tr + 1
-    zparts = []
     for p, entries in enumerate(spec6):
-        acc = None
-        for (Dy, Dx, lo, hi, k0) in entries:
+        a = acc.at[0:rows, 0:wc, 0:128]
+        for g, (Dy, Dx, lo, hi, k0) in enumerate(entries):
             part = _dot3(x5[Dy:Dy + rows, Dx:Dx + wc, lo:hi],
                          w6_ref[p, k0:k0 + (hi - lo), :])
-            acc = part if acc is None else acc + part
-        x6p = _leaky(acc + b6_ref[0, p * 128:(p + 1) * 128]).astype(cdtype)
-        zparts.append(_dot3(x6p, blk_ref[p * 128:(p + 1) * 128,
-                                         p * 16:(p + 1) * 16]))
-    zt[:, 0:wc, :] = jnp.concatenate(zparts, axis=-1)
+            if g == 0:
+                a[...] = part
+            else:
+                a[...] += part
+        x6p = _leaky(a[...] + b6_ref[0, p * 128:(p + 1) * 128]).astype(cdtype)
+        zt[:, 0:wc, p * 16:(p + 1) * 16] = _dot3(
+            x6p, blk_ref[p * 128:(p + 1) * 128, p * 16:(p + 1) * 16]
+        ).astype(zt.dtype)
     y = None
     for Dy in (0, 1):
         for Dx in (0, 1):
@@ -253,6 +264,7 @@ def _run_stack(xcol, kp, tr, tc, ny, nx, spec5, spec6, interpret=False):
             pltpu.VMEM((tr + 6, tc + 16, 128), cdtype),
             pltpu.VMEM((tr + 5, tc + 16, 128), cdtype),
             pltpu.VMEM((tr + 4, tc + 16, 256), cdtype),
+            pltpu.VMEM((tr + 5, tc + 16, 256), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
@@ -279,6 +291,7 @@ def _run_stack(xcol, kp, tr, tc, ny, nx, spec5, spec6, interpret=False):
         scratch_shapes=[
             pltpu.VMEM((tr + 2, tc + 16, 512), cdtype),
             pltpu.VMEM((tr + 1, tc + 16, 64), jnp.float32),
+            pltpu.VMEM((tr + 2, tc + 16, 128), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,

@@ -78,7 +78,13 @@ def d2s(x: jax.Array) -> jax.Array:
 
 
 def d2s_host(x: np.ndarray) -> np.ndarray:
-    """Host-side d2s for u8 output images (numpy, zero flops)."""
+    """Host-side d2s for u8 output images (zero flops; native C++ fast path
+    when built — see native/w2x_host.cpp w2x_d2s_u8 — else numpy)."""
+    if x.dtype == np.uint8:
+        from waifu2x_tpu import native
+        out = native.d2s_u8(x) if native.available() else None
+        if out is not None:
+            return out
     *n, h2, w2, c4 = x.shape
     c = c4 // 4
     x = x.reshape(*n, h2, w2, 2, 2, c)
