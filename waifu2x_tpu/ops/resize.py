@@ -114,6 +114,42 @@ def resize_np(img: np.ndarray, dsize: tuple[int, int],
     return np.asarray(resize(jnp.asarray(img), dsize, interpolation))
 
 
+def _phase_taps(interpolation: str):
+    """Static per-parity stencils of the 2x upsample: (offsets, w[2, taps]).
+    Output x=2j+B samples src at j + (B+0.5)/2 - 0.5, i.e. frac 0.75 (B=0,
+    base j-1) / 0.25 (B=1, base j) — fixed 4-tap (cubic) or 2-tap (linear)
+    stencils, so the generic gather machinery reduces to shifted slices."""
+    if interpolation == CUBIC:
+        offs = np.array([-2, -1, 0, 1])   # phase-0 taps rel. to j
+        w = np.stack([_cubic_weights(np.float32(0.75)),
+                      _cubic_weights(np.float32(0.25))])
+        return offs, np.stack([w[0], w[1]])  # phase-1 taps = offs + 1
+    if interpolation == LINEAR:
+        offs = np.array([-1, 0])
+        w = np.array([[0.25, 0.75], [0.75, 0.25]], np.float32)
+        return offs, w
+    raise ValueError(f"unsupported 2x-phase interpolation: {interpolation!r}")
+
+
+def _stencil_axis(img: jax.Array, axis: int, offs, w) -> jax.Array:
+    """Apply a 1-D stencil along `axis` with replicate borders: output j =
+    sum_t w[t] * img[clamp(j + offs[t])]."""
+    lo = max(0, -int(offs[0]))
+    hi = max(0, int(offs[-1]))
+    pad = [(0, 0)] * img.ndim
+    pad[axis] = (lo, hi)
+    xp = jnp.pad(img, pad, mode="edge")
+    n = img.shape[axis]
+    acc = None
+    for t in range(len(offs)):
+        start = int(offs[0]) + lo + t   # padded index of tap t at j = 0
+        sl = [slice(None)] * img.ndim
+        sl[axis] = slice(start, start + n)
+        term = xp[tuple(sl)] * jnp.asarray(w[t], img.dtype)
+        acc = term if acc is None else acc + term
+    return acc
+
+
 @partial(jax.jit, static_argnames=("interpolation", "h_axis"))
 def resize2x_phases(img: jax.Array, interpolation: str = CUBIC,
                     h_axis: int = 0) -> jax.Array:
@@ -123,16 +159,14 @@ def resize2x_phases(img: jax.Array, interpolation: str = CUBIC,
     (ops/pallas_stack.py) runs in, with no device-side interleave.
 
     img [..., H, W, C...] -> [..., H, W, C..., 4] where phase index A*2+B
-    equals full-res pixel (2i+A, 2j+B). Exactly matches `resize` per pixel
-    (identical tap plans, restricted per parity; vertical then horizontal).
+    equals full-res pixel (2i+A, 2j+B). Matches `resize` per pixel
+    (same taps/weights/clamping, as fixed shifted-slice stencils instead of
+    gathers — tests/test_fastpath.py asserts equality), vertical first.
     """
-    sh, sw = img.shape[h_axis], img.shape[h_axis + 1]
-    rows = []
-    idx_v, w_v = _axis_plan(2 * sh, sh, interpolation)
-    idx_h, w_h = _axis_plan(2 * sw, sw, interpolation)
+    offs, w = _phase_taps(interpolation)
+    out = []
     for A in (0, 1):
-        r = _resample_axis(img, h_axis, idx_v[A::2], w_v[A::2])
+        r = _stencil_axis(img, h_axis, offs + A, w[A])
         for B in (0, 1):
-            rows.append(_resample_axis(r, h_axis + 1, idx_h[B::2],
-                                       w_h[B::2]))
-    return jnp.stack(rows, axis=-1)
+            out.append(_stencil_axis(r, h_axis + 1, offs + B, w[B]))
+    return jnp.stack(out, axis=-1)
