@@ -103,13 +103,14 @@ def main() -> int:
     if args.psnr:
         from waifu2x_tpu.ops.color import saturate_cast_u8, yuv_to_bgr
         from waifu2x_tpu.ops.s2d import d2s_host
+        sl = yuv[:2]  # f32 reference at full batch would exceed HBM
         hi = np.asarray(saturate_cast_u8(yuv_to_bgr(scale2x_batch(
-            yuv, params, Config(mode="scale", precision="highest")))),
+            sl, params, Config(mode="scale", precision="highest")))),
             np.float64)
         if args.impl == "pallas":
-            got = d2s_host(np.asarray(step(yuv))).astype(np.float64)
+            got = d2s_host(np.asarray(step(sl))).astype(np.float64)
         else:
-            got = np.asarray(saturate_cast_u8(yuv_to_bgr(step(yuv))),
+            got = np.asarray(saturate_cast_u8(yuv_to_bgr(step(sl))),
                              np.float64)
         mse = np.mean((got - hi) ** 2)
         extra["psnr_vs_f32_db"] = (

@@ -67,6 +67,18 @@ def test_scale2x_u8_s2d_host_interleave(params, fast, rng):
     assert diff.max() <= 1 and (diff != 0).mean() < 0.01
 
 
+def test_noise_batch_fast_matches_xla(params, rng):
+    from waifu2x_tpu.pipeline import noise_batch, noise_batch_fast
+    fast_n = FastStack.build(params, scale_input=False, tile=(16, 8),
+                             interpret=True, dtype=jnp.float32)
+    yuv = jnp.asarray(rng.random((2, 20, 26, 3), dtype=np.float32))
+    cfg = Config(mode="noise", precision="highest", block_size=0)
+    ref = noise_batch(yuv, params, cfg)
+    got = noise_batch_fast(yuv, fast_n)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-4)
+
+
 def test_converter_pallas_matches_xla(params, rng, tmp_path):
     from waifu2x_tpu.models.weights import save_model_json
     mdl = tmp_path / "models"

@@ -202,6 +202,13 @@ def scale2x_batch_fast(yuv: jax.Array, fast: FastStack) -> jax.Array:
     return d2s(s2d_out.reshape(n, h, w, 12))
 
 
+def noise_batch_fast(yuv: jax.Array, fast: FastStack) -> jax.Array:
+    """Fast-path twin of noise_batch: f32 YUV [N,h,w,3] -> same shape with
+    the Y plane denoised through the fused kernels."""
+    y = fast.noise(yuv[..., 0])
+    return yuv.at[..., 0].set(y.astype(yuv.dtype))
+
+
 @jax.jit
 def _to_yuv(bgr_u8: jax.Array) -> jax.Array:
     return bgr_to_yuv(u8_to_unit_f32(bgr_u8))
