@@ -42,6 +42,9 @@ def main() -> int:
                     help="pallas tile as ROWSxCOLS, e.g. 256x64")
     ap.add_argument("--psnr", action="store_true",
                     help="also report PSNR vs the f32 highest-precision path")
+    ap.add_argument("--stream", type=int, default=4,
+                    help="frame-batches per dispatch (lax.scan video-stream "
+                         "mode, BASELINE config[4]); 1 = one batch/dispatch")
     args = ap.parse_args()
 
     import jax
@@ -82,22 +85,39 @@ def main() -> int:
         # host readback is the only reliable synchronization point.
         return int(np.asarray(jnp.max(arr)))
 
-    out = step(yuv)  # warmup / compile
+    stream = max(1, args.stream)
+    if stream > 1:
+        # video-stream mode: a scan over frame batches compiles the steady
+        # state into one program — one dispatch per `stream` batches, no
+        # host round-trip between batches (BASELINE config[4] shape).
+        frames = jnp.asarray(rng.random(
+            (stream, args.batch, args.size, args.size, 3), dtype=np.float32))
+
+        @jax.jit
+        def run(xs):
+            return jax.lax.scan(lambda c, x: (c, step(x)), None, xs)[1]
+
+        launch = lambda: run(frames)  # noqa: E731
+    else:
+        launch = lambda: step(yuv)  # noqa: E731
+
+    out = launch()  # warmup / compile
     sync(out)
 
     def trial(iters):
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = step(yuv)
+            out = launch()
         sync(out)
         return time.perf_counter() - t0
 
-    trial(3)  # settle the pipeline
-    times = [trial(args.iters) for _ in range(3)]
+    trial(2)  # settle the pipeline
+    iters = max(1, args.iters // stream)
+    times = [trial(iters) for _ in range(3)]
     dt = min(times)
 
-    out_mp = args.batch * (2 * args.size) ** 2 / 1e6
-    mp_per_s = out_mp * args.iters / dt
+    out_mp = stream * args.batch * (2 * args.size) ** 2 / 1e6
+    mp_per_s = out_mp * iters / dt
 
     extra = {}
     if args.psnr:
@@ -118,8 +138,8 @@ def main() -> int:
 
     result = {
         "metric": "megapixels/sec/chip at 2x scale "
-                  f"(batch={args.batch}, {args.size}px frames, "
-                  f"impl={args.impl}, u8-BGR out, "
+                  f"(stream={stream}x batch={args.batch}, "
+                  f"{args.size}px frames, impl={args.impl}, u8-BGR out, "
                   f"device={jax.devices()[0].device_kind})",
         "value": round(mp_per_s, 2),
         "unit": "MP/s",

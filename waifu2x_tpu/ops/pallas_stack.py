@@ -47,9 +47,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from waifu2x_tpu.ops import s2d as s2d_ops
 
-DEF_TILE = (256, 64)   # s2d-grid tile (rows, cols); rows are unconstrained,
-#                        cols pay an 8-sublane alignment pad, so tall tiles
-#                        minimise halo+pad overhead per byte of VMEM
+DEF_TILE = (64, 128)   # s2d-grid tile (rows, cols); rows are exact (no
+#                        alignment), cols pay a +8 compute pad that amortises
+#                        with width — (64, 128) measured fastest of the
+#                        shapes that compile within the 128 MB VMEM
 VMEM_LIMIT = 100 * 1024 * 1024
 
 
@@ -62,8 +63,12 @@ def pack_mid_kernel(w) -> tuple[np.ndarray, tuple]:
 
     Returns (wcat [4, 9*ci, co], spec): per output phase p=A*2+B, wcat[p]
     stacks the non-zero K-rows of all matmul groups; spec[p] is a tuple of
-    (Dy, Dx, lane_lo, lane_hi, k0) — read input lanes [lane_lo:lane_hi) at
-    block shift (Dy, Dx), multiply by wcat[p, k0:k0+(lane_hi-lane_lo)].
+    (Dy, Dx, lane_slices, k0, klen) — concatenate the input lane slices
+    ((lo, hi), ...) read at block shift (Dy, Dx) and multiply by
+    wcat[p, k0:k0+klen]. Groups sharing a block shift are merged into one
+    matmul (their operands have identical sublane offsets, so the lane
+    concat is layout-free): for the 64->128 layer this packs the two
+    64-lane runs into one full-K pass — 5 MXU passes/px instead of 6.
     """
     w = np.asarray(w, np.float32)
     ci, co = w.shape[2], w.shape[3]
@@ -71,13 +76,20 @@ def pack_mid_kernel(w) -> tuple[np.ndarray, tuple]:
     wcat = np.zeros((4, 9 * ci, co), np.float32)
     spec = []
     for p, glist in enumerate(groups):
+        merged: dict[tuple[int, int], list] = {}
+        for (Dy, Dx, lo, hi, wm) in glist:
+            merged.setdefault((Dy, Dx), []).append((lo, hi, wm))
         k0 = 0
         entries = []
-        for (Dy, Dx, lo, hi, wm) in glist:
-            k = hi - lo
-            wcat[p, k0:k0 + k] = wm
-            entries.append((Dy, Dx, lo, hi, k0))
-            k0 += k
+        for (Dy, Dx), runs in merged.items():
+            klen = sum(hi - lo for lo, hi, _ in runs)
+            ofs = k0
+            for lo, hi, wm in runs:
+                wcat[p, ofs:ofs + (hi - lo)] = wm
+                ofs += hi - lo
+            entries.append((Dy, Dx, tuple((lo, hi) for lo, hi, _ in runs),
+                            k0, klen))
+            k0 += klen
         assert k0 == 9 * ci
         spec.append(tuple(entries))
     return wcat, tuple(spec)
@@ -127,18 +139,21 @@ def prep_params(params, scale_input: bool, dtype=jnp.bfloat16):
 # kernel bodies
 # ---------------------------------------------------------------------------
 
-def _dot3(x, w):
-    """[h, w, K] @ [K, N] -> f32 [h, w, N] on the MXU."""
-    return jax.lax.dot_general(
+def _dot3(x, w, out_dtype=jnp.float32):
+    """[h, w, K] @ [K, N] -> [h, w, N] on the MXU. Mosaic only supports
+    32-bit matmul accumulators, so the dot is always f32 and any narrower
+    out_dtype is a post-cast."""
+    out = jax.lax.dot_general(
         x, w, dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
+    return out if out_dtype == jnp.float32 else out.astype(out_dtype)
 
 
 def _leaky(x):
     return jnp.maximum(x, 0) + jnp.float32(0.1) * jnp.minimum(x, 0)
 
 
-def _k1_body(tr, tc, cdtype,
+def _k1_body(tr, tc, cdtype, accdt,
              xcol_hbm, l1_ref, b1_ref, w2a_ref, b2a_ref, w2b_ref, b2b_ref,
              w2c_ref, b2c_ref, out_ref, xin, x1, x2, x3, acc, sem):
     # Mosaic alignment: the sublane (second-minor) dim of every HBM slice,
@@ -158,7 +173,8 @@ def _k1_body(tr, tc, cdtype,
     dma.start()
     dma.wait()
     # L1: one matmul over the (padded) 16-lane im2col
-    x1[:] = _leaky(_dot3(xin[:], l1_ref[:]) + b1_ref[0]).astype(cdtype)
+    x1[:] = _leaky(_dot3(xin[:], l1_ref[:], accdt)
+                   + b1_ref[0].astype(accdt)).astype(cdtype)
     # L2-L4: 4-tap shift-matmuls with dense packed W2. Tap partials
     # accumulate IN PLACE into one f32 scratch — accumulating by value made
     # Mosaic hold every partial product alive at once (>100 MB of scoped
@@ -166,35 +182,44 @@ def _k1_body(tr, tc, cdtype,
     def block4(src, w_ref, b_ref, rows):
         co = w_ref.shape[2]
         a = acc.at[0:rows, 0:wc, 0:co]
-        a[...] = _dot3(src[0:rows, 0:wc, :], w_ref[0])
-        a[...] += _dot3(src[0:rows, 1:wc + 1, :], w_ref[1])
-        a[...] += _dot3(src[1:rows + 1, 0:wc, :], w_ref[2])
-        a[...] += _dot3(src[1:rows + 1, 1:wc + 1, :], w_ref[3])
-        return _leaky(a[...] + b_ref[0]).astype(cdtype)
+        a[...] = _dot3(src[0:rows, 0:wc, :], w_ref[0], accdt)
+        a[...] += _dot3(src[0:rows, 1:wc + 1, :], w_ref[1], accdt)
+        a[...] += _dot3(src[1:rows + 1, 0:wc, :], w_ref[2], accdt)
+        a[...] += _dot3(src[1:rows + 1, 1:wc + 1, :], w_ref[3], accdt)
+        return _leaky(a[...] + b_ref[0].astype(accdt)).astype(cdtype)
 
     x2[:, 0:wc, :] = block4(x1, w2a_ref, b2a_ref, tr + 5)
     x3[:, 0:wc, :] = block4(x2, w2b_ref, b2b_ref, tr + 4)
     out_ref[0, :, 0:wc, :] = block4(x3, w2c_ref, b2c_ref, tr + 3)
 
 
+def _gather_k(src, rows, wc, Dy, Dx, lane_slices):
+    """Operand for one merged group: lane slices at one block shift,
+    concatenated along lanes (identical sublane offsets -> layout-free)."""
+    parts = [src[Dy:Dy + rows, Dx:Dx + wc, lo:hi] for lo, hi in lane_slices]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+
+
 def _mid_sparse(src, w_ref, b_ref, spec, rows, wc, co, cdtype, dst, acc):
     """One phase-sparse mid layer: src [rows+1, >=wc+1, 4ci] -> dst
     [rows, wc, 4co] (written per-phase in lane chunks of co); `acc` is a
-    reused f32 scratch for the in-place group accumulation."""
+    reused scratch for the in-place group accumulation."""
+    accdt = acc.dtype
     for p, entries in enumerate(spec):
         a = acc.at[0:rows, 0:wc, 0:co]
-        for g, (Dy, Dx, lo, hi, k0) in enumerate(entries):
-            part = _dot3(src[Dy:Dy + rows, Dx:Dx + wc, lo:hi],
-                         w_ref[p, k0:k0 + (hi - lo), :])
+        for g, (Dy, Dx, lanes, k0, klen) in enumerate(entries):
+            part = _dot3(_gather_k(src, rows, wc, Dy, Dx, lanes),
+                         w_ref[p, k0:k0 + klen, :], accdt)
             if g == 0:
                 a[...] = part
             else:
                 a[...] += part
         dst[:, 0:wc, p * co:(p + 1) * co] = _leaky(
-            a[...] + b_ref[0, p * co:(p + 1) * co]).astype(cdtype)
+            a[...] + b_ref[0, p * co:(p + 1) * co].astype(accdt)
+        ).astype(cdtype)
 
 
-def _k2_body(tr, tc, cdtype, spec5, spec6,
+def _k2_body(tr, tc, cdtype, accdt, spec5, spec6,
              x4_ref, w5_ref, b5_ref, w6_ref, b6_ref, blk_ref, sel_ref,
              b7_ref, out_ref, x5, zt, acc):
     wc = tc + 8
@@ -207,14 +232,15 @@ def _k2_body(tr, tc, cdtype, spec5, spec6,
     rows = tr + 1
     for p, entries in enumerate(spec6):
         a = acc.at[0:rows, 0:wc, 0:128]
-        for g, (Dy, Dx, lo, hi, k0) in enumerate(entries):
-            part = _dot3(x5[Dy:Dy + rows, Dx:Dx + wc, lo:hi],
-                         w6_ref[p, k0:k0 + (hi - lo), :])
+        for g, (Dy, Dx, lanes, k0, klen) in enumerate(entries):
+            part = _dot3(_gather_k(x5, rows, wc, Dy, Dx, lanes),
+                         w6_ref[p, k0:k0 + klen, :], accdt)
             if g == 0:
                 a[...] = part
             else:
                 a[...] += part
-        x6p = _leaky(a[...] + b6_ref[0, p * 128:(p + 1) * 128]).astype(cdtype)
+        x6p = _leaky(a[...] + b6_ref[0, p * 128:(p + 1) * 128].astype(accdt)
+                     ).astype(cdtype)
         zt[:, 0:wc, p * 16:(p + 1) * 16] = _dot3(
             x6p, blk_ref[p * 128:(p + 1) * 128, p * 16:(p + 1) * 16]
         ).astype(zt.dtype)
@@ -239,14 +265,17 @@ def _full(shape, dtype=None):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tr", "tc", "ny", "nx", "spec5", "spec6", "interpret"))
-def _run_stack(xcol, kp, tr, tc, ny, nx, spec5, spec6, interpret=False):
+    static_argnames=("tr", "tc", "ny", "nx", "spec5", "spec6", "interpret",
+                     "acc_f32"))
+def _run_stack(xcol, kp, tr, tc, ny, nx, spec5, spec6, interpret=False,
+               acc_f32=True):
     n = xcol.shape[0]
     cdtype = xcol.dtype
+    accdt = jnp.float32 if acc_f32 else cdtype
     hb, wb = tr + 3, tc + 16            # X4 handoff block (one-sided halo 3,
     #                                     width padded for 8-sublane slices)
     x4 = pl.pallas_call(
-        functools.partial(_k1_body, tr, tc, cdtype),
+        functools.partial(_k1_body, tr, tc, cdtype, accdt),
         grid=(n, ny, nx),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -264,7 +293,7 @@ def _run_stack(xcol, kp, tr, tc, ny, nx, spec5, spec6, interpret=False):
             pltpu.VMEM((tr + 6, tc + 16, 128), cdtype),
             pltpu.VMEM((tr + 5, tc + 16, 128), cdtype),
             pltpu.VMEM((tr + 4, tc + 16, 256), cdtype),
-            pltpu.VMEM((tr + 5, tc + 16, 256), jnp.float32),
+            pltpu.VMEM((tr + 5, tc + 16, 256), accdt),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
@@ -273,7 +302,7 @@ def _run_stack(xcol, kp, tr, tc, ny, nx, spec5, spec6, interpret=False):
       kp["w2c"], kp["b2c"])
 
     y = pl.pallas_call(
-        functools.partial(_k2_body, tr, tc, cdtype, spec5, spec6),
+        functools.partial(_k2_body, tr, tc, cdtype, accdt, spec5, spec6),
         grid=(n, ny, nx),
         in_specs=[
             pl.BlockSpec((1, hb, wb, 256), lambda nn, i, j: (nn, i, j, 0),
@@ -291,7 +320,7 @@ def _run_stack(xcol, kp, tr, tc, ny, nx, spec5, spec6, interpret=False):
         scratch_shapes=[
             pltpu.VMEM((tr + 2, tc + 16, 512), cdtype),
             pltpu.VMEM((tr + 1, tc + 16, 64), jnp.float32),
-            pltpu.VMEM((tr + 2, tc + 16, 128), jnp.float32),
+            pltpu.VMEM((tr + 2, tc + 16, 128), accdt),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
@@ -339,7 +368,7 @@ def _xcol_noise(y, tr, tc):
 
 def stack_scale(ylow: jax.Array, kernel_params, spec,
                 tile: tuple[int, int] = DEF_TILE,
-                interpret: bool = False) -> jax.Array:
+                interpret: bool = False, acc_f32: bool = True) -> jax.Array:
     """SCALE-path fused stack: low-res luma [N, hl, wl] -> converted Y in
     s2d layout [N, hl, wl, 4] (channel (A*2+B) = full-res pixel (2i+A, 2j+B);
     equals the reference's nearest-2x + pad-7 + 7-layer stack)."""
@@ -348,13 +377,13 @@ def stack_scale(ylow: jax.Array, kernel_params, spec,
     ny, nx = _grid_for(hl, wl, tr, tc)
     xcol = _xcol_scale(ylow, tr, tc)
     y = _run_stack(xcol, kernel_params, tr, tc, ny, nx, spec[0], spec[1],
-                   interpret=interpret)
+                   interpret=interpret, acc_f32=acc_f32)
     return y[:, :hl, :wl, :]
 
 
 def stack_noise(y: jax.Array, kernel_params, spec,
                 tile: tuple[int, int] = DEF_TILE,
-                interpret: bool = False) -> jax.Array:
+                interpret: bool = False, acc_f32: bool = True) -> jax.Array:
     """NOISE-path fused stack: [N, h, w] -> same-size converted plane.
     Odd sizes are edge-padded to even first (replicate-pad composition
     keeps the interior bit-identical — convertRoutine.cpp:35-36 semantics).
@@ -368,6 +397,6 @@ def stack_noise(y: jax.Array, kernel_params, spec,
     ny, nx = _grid_for(hl, wl, tr, tc)
     xcol = _xcol_noise(y, tr, tc)
     ys = _run_stack(xcol, kernel_params, tr, tc, ny, nx, spec[0], spec[1],
-                    interpret=interpret)
+                    interpret=interpret, acc_f32=acc_f32)
     out = s2d_ops.d2s(ys[:, :hl, :wl, :])[..., 0]
     return out[:, :h, :w]
