@@ -42,9 +42,11 @@ def main() -> int:
                     help="pallas tile as ROWSxCOLS, e.g. 256x64")
     ap.add_argument("--psnr", action="store_true",
                     help="also report PSNR vs the f32 highest-precision path")
-    ap.add_argument("--stream", type=int, default=4,
+    ap.add_argument("--stream", type=int, default=1,
                     help="frame-batches per dispatch (lax.scan video-stream "
-                         "mode, BASELINE config[4]); 1 = one batch/dispatch")
+                         "mode, BASELINE config[4]); 1 = one batch/dispatch "
+                         "(measured faster: scan serialises the dispatch "
+                         "pipeline)")
     args = ap.parse_args()
 
     import jax

@@ -95,6 +95,56 @@ def pack_mid_kernel(w) -> tuple[np.ndarray, tuple]:
     return wcat, tuple(spec)
 
 
+def pack_pair_kernel(w) -> tuple[np.ndarray, tuple]:
+    """Phase-PAIR packing of one s2d layer (3x3, ci->co): compute both
+    column phases B=0,1 of one row phase A in a single matmul.
+
+    The dense packed W2 runs the MXU at 9/16 utilisation; per-phase sparsity
+    recovers K-util but leaves N=co (<=64 for layers 3-4) underfilled.
+    Pairing doubles N to 2co while the K-union over B grows only from 9ci
+    to 12ci (75% K-util): layer 4 drops from 4 to 3 MXU passes/px, layer 3
+    from 2 to 1.5.
+
+    Returns (wpair [2, 12ci, 2co], spec): spec[A] = tuple of
+    (Dy, Dx, lane_lo, lane_hi, k0, klen) — input lanes are contiguous
+    because each (Dy, Dx) group uses a contiguous row-parity set with all
+    column parities. Output lanes [A*2co, (A+1)*2co) follow the standard
+    (a*2+b)*co + c order.
+    """
+    w = np.asarray(w, np.float32)
+    ci, co = w.shape[2], w.shape[3]
+    wpair = np.zeros((2, 12 * ci, 2 * co), np.float32)
+    spec = []
+    for A in range(2):
+        ymap: dict[int, dict[int, int]] = {0: {}, 1: {}}
+        for dy in range(3):
+            ymap[(A + dy) // 2][(A + dy) % 2] = dy
+        k0 = 0
+        entries = []
+        for Dy in (0, 1):
+            for Dx in (0, 1):
+                a_set = sorted(ymap[Dy])
+                if not a_set:
+                    continue
+                lo = a_set[0] * 2 * ci
+                hi = (a_set[-1] + 1) * 2 * ci
+                klen = hi - lo
+                for a in a_set:
+                    dy = ymap[Dy][a]
+                    for b in (0, 1):
+                        krow = k0 + (a - a_set[0]) * 2 * ci + b * ci
+                        for B in (0, 1):
+                            dx = 2 * Dx + b - B
+                            if 0 <= dx < 3:
+                                wpair[A, krow:krow + ci, B * co:(B + 1) * co] \
+                                    = w[dy, dx]
+                entries.append((Dy, Dx, lo, hi, k0, klen))
+                k0 += klen
+        assert k0 == 12 * ci
+        spec.append(tuple(entries))
+    return wpair, tuple(spec)
+
+
 def pack_for_kernels(params, scale_input: bool) -> tuple[dict, tuple]:
     """Pack a 7-layer pytree into the arrays the Pallas kernels consume.
 
@@ -110,18 +160,18 @@ def pack_for_kernels(params, scale_input: bool) -> tuple[dict, tuple]:
         "l1": l1, "b1": packed["b1"][None],
         "w2a": packed["w2"][0]["w"].reshape(4, 128, 128),
         "b2a": packed["w2"][0]["b"][None],
-        "w2b": packed["w2"][1]["w"].reshape(4, 128, 256),
         "b2b": packed["w2"][1]["b"][None],
-        "w2c": packed["w2"][2]["w"].reshape(4, 256, 256),
         "b2c": packed["w2"][2]["b"][None],
         "b5": packed["mid"][0]["b"][None],
         "b6": packed["mid"][1]["b"][None],
         "l7_blk": packed["l7_blk"], "l7_sel": packed["l7_sel"],
         "b7": np.asarray(packed["b7"], np.float32).reshape(1, 1),
     }
+    arrays["w2b"], spec3 = pack_pair_kernel(w[2])
+    arrays["w2c"], spec4 = pack_pair_kernel(w[3])
     arrays["w5"], spec5 = pack_mid_kernel(w[4])
     arrays["w6"], spec6 = pack_mid_kernel(w[5])
-    return arrays, (spec5, spec6)
+    return arrays, (spec3, spec4, spec5, spec6)
 
 
 def prep_params(params, scale_input: bool, dtype=jnp.bfloat16):
@@ -153,7 +203,7 @@ def _leaky(x):
     return jnp.maximum(x, 0) + jnp.float32(0.1) * jnp.minimum(x, 0)
 
 
-def _k1_body(tr, tc, cdtype, accdt,
+def _k1_body(tr, tc, cdtype, accdt, spec3, spec4,
              xcol_hbm, l1_ref, b1_ref, w2a_ref, b2a_ref, w2b_ref, b2b_ref,
              w2c_ref, b2c_ref, out_ref, xin, x1, x2, x3, acc, sem):
     # Mosaic alignment: the sublane (second-minor) dim of every HBM slice,
@@ -189,8 +239,29 @@ def _k1_body(tr, tc, cdtype, accdt,
         return _leaky(a[...] + b_ref[0].astype(accdt)).astype(cdtype)
 
     x2[:, 0:wc, :] = block4(x1, w2a_ref, b2a_ref, tr + 5)
-    x3[:, 0:wc, :] = block4(x2, w2b_ref, b2b_ref, tr + 4)
-    out_ref[0, :, 0:wc, :] = block4(x3, w2c_ref, b2c_ref, tr + 3)
+
+    # L3-L4: phase-pair matmuls (see pack_pair_kernel) — N packed to 2co,
+    # K-union 12ci, written per row-parity pair in lane chunks of 2co
+    def block_pair(src, w_ref, b_ref, spec, rows, dst, dst_is_out):
+        co2 = w_ref.shape[2]
+        for A, entries in enumerate(spec):
+            a = acc.at[0:rows, 0:wc, 0:co2]
+            for g, (Dy, Dx, lo, hi, k0, klen) in enumerate(entries):
+                part = _dot3(src[Dy:Dy + rows, Dx:Dx + wc, lo:hi],
+                             w_ref[A, k0:k0 + klen, :], accdt)
+                if g == 0:
+                    a[...] = part
+                else:
+                    a[...] += part
+            val = _leaky(a[...] + b_ref[0, A * co2:(A + 1) * co2]
+                         .astype(accdt)).astype(cdtype)
+            if dst_is_out:
+                dst[0, :, 0:wc, A * co2:(A + 1) * co2] = val
+            else:
+                dst[:, 0:wc, A * co2:(A + 1) * co2] = val
+
+    block_pair(x2, w2b_ref, b2b_ref, spec3, tr + 4, x3, False)
+    block_pair(x3, w2c_ref, b2c_ref, spec4, tr + 3, out_ref, True)
 
 
 def _gather_k(src, rows, wc, Dy, Dx, lane_slices):
@@ -265,24 +336,25 @@ def _full(shape, dtype=None):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tr", "tc", "ny", "nx", "spec5", "spec6", "interpret",
+    static_argnames=("tr", "tc", "ny", "nx", "spec", "interpret",
                      "acc_f32"))
-def _run_stack(xcol, kp, tr, tc, ny, nx, spec5, spec6, interpret=False,
+def _run_stack(xcol, kp, tr, tc, ny, nx, spec, interpret=False,
                acc_f32=True):
+    spec3, spec4, spec5, spec6 = spec
     n = xcol.shape[0]
     cdtype = xcol.dtype
     accdt = jnp.float32 if acc_f32 else cdtype
     hb, wb = tr + 3, tc + 16            # X4 handoff block (one-sided halo 3,
     #                                     width padded for 8-sublane slices)
     x4 = pl.pallas_call(
-        functools.partial(_k1_body, tr, tc, cdtype, accdt),
+        functools.partial(_k1_body, tr, tc, cdtype, accdt, spec3, spec4),
         grid=(n, ny, nx),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             _full((128, 128)), _full((1, 128)),
             _full((4, 128, 128)), _full((1, 128)),
-            _full((4, 128, 256)), _full((1, 256)),
-            _full((4, 256, 256)), _full((1, 256)),
+            _full((2, 384, 128)), _full((1, 256)),
+            _full((2, 768, 128)), _full((1, 256)),
         ],
         out_specs=pl.BlockSpec((1, hb, wb, 256),
                                lambda nn, i, j: (nn, i, j, 0),
@@ -376,7 +448,7 @@ def stack_scale(ylow: jax.Array, kernel_params, spec,
     n, hl, wl = ylow.shape
     ny, nx = _grid_for(hl, wl, tr, tc)
     xcol = _xcol_scale(ylow, tr, tc)
-    y = _run_stack(xcol, kernel_params, tr, tc, ny, nx, spec[0], spec[1],
+    y = _run_stack(xcol, kernel_params, tr, tc, ny, nx, spec,
                    interpret=interpret, acc_f32=acc_f32)
     return y[:, :hl, :wl, :]
 
@@ -396,7 +468,7 @@ def stack_noise(y: jax.Array, kernel_params, spec,
     hl, wl = he // 2, we // 2
     ny, nx = _grid_for(hl, wl, tr, tc)
     xcol = _xcol_noise(y, tr, tc)
-    ys = _run_stack(xcol, kernel_params, tr, tc, ny, nx, spec[0], spec[1],
+    ys = _run_stack(xcol, kernel_params, tr, tc, ny, nx, spec,
                     interpret=interpret, acc_f32=acc_f32)
     out = s2d_ops.d2s(ys[:, :hl, :wl, :])[..., 0]
     return out[:, :h, :w]
