@@ -22,7 +22,7 @@ from waifu2x_tpu.pipeline import FastStack, scale2x_batch_u8_s2d
 @pytest.fixture(scope="module")
 def fast():
     params = init_params(jax.random.PRNGKey(5), WAIFU2X_7LAYER)
-    return FastStack.build(params, scale_input=True, tile=(16, 8),
+    return FastStack.build(params, scale_input=True, tile=(16, 16),
                            interpret=True, dtype=jnp.float32)
 
 

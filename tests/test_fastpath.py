@@ -31,7 +31,7 @@ def params():
 
 @pytest.fixture(scope="module")
 def fast(params):
-    return FastStack.build(params, scale_input=True, tile=(16, 8),
+    return FastStack.build(params, scale_input=True, tile=(16, 16),
                            interpret=True, dtype=jnp.float32)
 
 
@@ -69,7 +69,7 @@ def test_scale2x_u8_s2d_host_interleave(params, fast, rng):
 
 def test_noise_batch_fast_matches_xla(params, rng):
     from waifu2x_tpu.pipeline import noise_batch, noise_batch_fast
-    fast_n = FastStack.build(params, scale_input=False, tile=(16, 8),
+    fast_n = FastStack.build(params, scale_input=False, tile=(16, 16),
                              interpret=True, dtype=jnp.float32)
     yuv = jnp.asarray(rng.random((2, 20, 26, 3), dtype=np.float32))
     cfg = Config(mode="noise", precision="highest", block_size=0)
@@ -94,10 +94,10 @@ def test_converter_pallas_matches_xla(params, rng, tmp_path):
     conv = Converter.from_config(cfg_f)
     # CPU test: rebuild the fast stacks in f32 + interpreter explicitly
     conv.fast_noise = FastStack.build(params, scale_input=False,
-                                      tile=(16, 8), interpret=True,
+                                      tile=(16, 16), interpret=True,
                                       dtype=jnp.float32)
     conv.fast_scale = FastStack.build(params, scale_input=True,
-                                      tile=(16, 8), interpret=True,
+                                      tile=(16, 16), interpret=True,
                                       dtype=jnp.float32)
     got = conv.process_bgr_u8(img)
     diff = np.abs(ref.astype(int) - got.astype(int))

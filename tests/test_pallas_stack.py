@@ -32,7 +32,7 @@ def kp_noise(params):
 
 
 @pytest.mark.parametrize("hl,wl,tile",
-                         [(16, 16, (8, 8)), (13, 22, (16, 8)), (9, 9, (16, 16))])
+                         [(16, 16, (8, 16)), (13, 22, (16, 16)), (9, 9, (16, 16))])
 def test_stack_scale_matches_reference(params, kp, rng, hl, wl, tile):
     ylow = rng.random((2, hl, wl), dtype=np.float32)
     up = np.repeat(np.repeat(ylow, 2, axis=1), 2, axis=2)
@@ -45,7 +45,7 @@ def test_stack_scale_matches_reference(params, kp, rng, hl, wl, tile):
                                rtol=0, atol=3e-5)
 
 
-@pytest.mark.parametrize("h,w,tile", [(32, 32, (8, 8)), (27, 38, (8, 16))])
+@pytest.mark.parametrize("h,w,tile", [(32, 32, (8, 16)), (27, 38, (8, 16))])
 def test_stack_noise_matches_reference(params, kp_noise, rng, h, w, tile):
     y = rng.random((1, h, w), dtype=np.float32)
     ref = convert_plane(jnp.asarray(y), params, precision="highest")

@@ -153,9 +153,8 @@ def pack_for_kernels(params, scale_input: bool) -> tuple[dict, tuple]:
     """
     packed = s2d_ops.pack_stack(params, scale_input)
     w = [np.asarray(p["w"], np.float32) for p in params]
-    l1 = np.zeros((128, 128), np.float32)             # K padded to the 128
-    l1[: packed["l1"].shape[0]] = packed["l1"]        # lane tile (DMA needs
-    #                                                   128-lane alignment)
+    l1 = np.zeros((16, 128), np.float32)              # K padded to 16 lanes
+    l1[: packed["l1"].shape[0]] = packed["l1"]
     arrays = {
         "l1": l1, "b1": packed["b1"][None],
         "w2a": packed["w2"][0]["w"].reshape(4, 128, 128),
@@ -204,25 +203,27 @@ def _leaky(x):
 
 
 def _k1_body(tr, tc, cdtype, accdt, spec3, spec4,
-             xcol_hbm, l1_ref, b1_ref, w2a_ref, b2a_ref, w2b_ref, b2b_ref,
-             w2c_ref, b2c_ref, out_ref, xin, x1, x2, x3, acc, sem):
-    # Mosaic alignment: the sublane (second-minor) dim of every HBM slice,
-    # VMEM slice and store must be a multiple of 8, so all buffers carry
-    # tau+16 columns and compute runs at width tau+8; the columns beyond
-    # tau+3 are padding/garbage that downstream stages never read (the
-    # valid-conv halo is one-sided, so junk only ever propagates rightward
-    # within the pad region). Row (untiled) dims are exact.
-    n = pl.program_id(0)
-    i = pl.program_id(1)
-    j = pl.program_id(2)
-    wi = tc + 16
+             xa, xb, xc, xd, l1_ref, b1_ref, w2a_ref, b2a_ref, w2b_ref,
+             b2b_ref, w2c_ref, b2c_ref, out_ref, xin, x1, x2, x3, acc):
+    # Mosaic alignment: the sublane (second-minor) dim of every VMEM slice
+    # and store must be a multiple of 8, so all buffers carry tau+16 columns
+    # and compute runs at width tau+8; the columns beyond tau+3 are padding/
+    # garbage that downstream stages never read (the valid-conv halo is
+    # one-sided, so junk only ever propagates rightward within the pad
+    # region). Row (untiled) dims are exact.
+    #
+    # The overlapping (tr+6, tc+16) input window is assembled from four
+    # NON-overlapping grid blocks of the im2col array (this tile, right
+    # neighbor, below, below-right) so the fetches ride the automatically
+    # double-buffered BlockSpec pipeline instead of a serial DMA, and the
+    # array keeps its compact 16-lane form (a manual HBM DMA would force
+    # 128-lane alignment = 8x the traffic).
     wc = tc + 8
-    dma = pltpu.make_async_copy(
-        xcol_hbm.at[n, pl.ds(i * tr, tr + 6), pl.ds(j * tc, wi), :],
-        xin, sem)
-    dma.start()
-    dma.wait()
-    # L1: one matmul over the (padded) 16-lane im2col
+    xin[0:tr, 0:tc, :] = xa[0]
+    xin[0:tr, tc:tc + 16, :] = xb[0][:, 0:16, :]
+    xin[tr:tr + 6, 0:tc, :] = xc[0][0:6, :, :]
+    xin[tr:tr + 6, tc:tc + 16, :] = xd[0][0:6, 0:16, :]
+    # L1: one matmul over the 16-lane im2col
     x1[:] = _leaky(_dot3(xin[:], l1_ref[:], accdt)
                    + b1_ref[0].astype(accdt)).astype(cdtype)
     # L2-L4: 4-tap shift-matmuls with dense packed W2. Tap partials
@@ -346,12 +347,21 @@ def _run_stack(xcol, kp, tr, tc, ny, nx, spec, interpret=False,
     accdt = jnp.float32 if acc_f32 else cdtype
     hb, wb = tr + 3, tc + 16            # X4 handoff block (one-sided halo 3,
     #                                     width padded for 8-sublane slices)
+    def _xblk(di, dj):
+        # K1 assembles its overlapping (tr+6, tc+16) input window from four
+        # non-overlapping im2col blocks: this tile + right/below/diag
+        # neighbors — pipelined BlockSpec fetches, no manual DMA.
+        return pl.BlockSpec((1, tr, tc, 16),
+                            lambda nn, i, j, di=di, dj=dj:
+                            (nn, i + di, j + dj, 0),
+                            memory_space=pltpu.VMEM)
+
     x4 = pl.pallas_call(
         functools.partial(_k1_body, tr, tc, cdtype, accdt, spec3, spec4),
         grid=(n, ny, nx),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            _full((128, 128)), _full((1, 128)),
+            _xblk(0, 0), _xblk(0, 1), _xblk(1, 0), _xblk(1, 1),
+            _full((16, 128)), _full((1, 128)),
             _full((4, 128, 128)), _full((1, 128)),
             _full((2, 384, 128)), _full((1, 256)),
             _full((2, 768, 128)), _full((1, 256)),
@@ -361,17 +371,16 @@ def _run_stack(xcol, kp, tr, tc, ny, nx, spec, interpret=False,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, ny * hb, nx * wb, 256), cdtype),
         scratch_shapes=[
-            pltpu.VMEM((tr + 6, tc + 16, 128), cdtype),
+            pltpu.VMEM((tr + 6, tc + 16, 16), cdtype),
             pltpu.VMEM((tr + 6, tc + 16, 128), cdtype),
             pltpu.VMEM((tr + 5, tc + 16, 128), cdtype),
             pltpu.VMEM((tr + 4, tc + 16, 256), cdtype),
             pltpu.VMEM((tr + 5, tc + 16, 256), accdt),
-            pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
-    )(xcol, kp["l1"], kp["b1"], kp["w2a"], kp["b2a"], kp["w2b"], kp["b2b"],
-      kp["w2c"], kp["b2c"])
+    )(xcol, xcol, xcol, xcol, kp["l1"], kp["b1"], kp["w2a"], kp["b2a"],
+      kp["w2b"], kp["b2b"], kp["w2c"], kp["b2c"])
 
     y = pl.pallas_call(
         functools.partial(_k2_body, tr, tc, cdtype, accdt, spec5, spec6),
@@ -402,6 +411,9 @@ def _run_stack(xcol, kp, tr, tc, ny, nx, spec, interpret=False,
 
 
 def _grid_for(hl: int, wl: int, tr: int, tc: int) -> tuple[int, int]:
+    if tr < 6 or tc < 16:
+        raise ValueError("tile must be at least (6, 16): K1 assembles its "
+                         "halo window from neighbor blocks of that depth")
     return -(-hl // tr), -(-wl // tc)
 
 
@@ -412,13 +424,15 @@ def _xcol_scale(ylow, tr, tc):
     n, hl, wl = ylow.shape
     ny, nx = _grid_for(hl, wl, tr, tc)
     hp, wp = ny * tr, nx * tc
-    # widths carry +16 so K1's DMA slices stay 8-sublane aligned
     yp = jnp.pad(ylow, ((0, 0), (4, 4 + hp - hl), (4, 14 + wp - wl)),
                  mode="edge")
     taps = [yp[:, dy:hp + 6 + dy, dx:wp + 16 + dx]
             for dy in range(3) for dx in range(3)]
     x = jnp.stack(taps, axis=-1)
-    return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 128 - 9)))
+    # pad to an (ny+1) x (nx+1) block grid (K1 assembles each overlapping
+    # window from 4 neighboring blocks) and to 16 lanes
+    return jnp.pad(x, ((0, 0), (0, (ny + 1) * tr - (hp + 6)),
+                       (0, (nx + 1) * tc - (wp + 16)), (0, 16 - 9)))
 
 
 @functools.partial(jax.jit, static_argnames=("tr", "tc"))
@@ -435,7 +449,8 @@ def _xcol_noise(y, tr, tc):
     cols = [x0[:, Dy:hp + 6 + Dy, Dx:wp + 16 + Dx, :]
             for Dy in (0, 1) for Dx in (0, 1)]
     x = jnp.concatenate(cols, axis=-1)              # [N, hp+6, wp+16, 16]
-    return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 128 - 16)))
+    return jnp.pad(x, ((0, 0), (0, (ny + 1) * tr - (hp + 6)),
+                       (0, (nx + 1) * tc - (wp + 16)), (0, 0)))
 
 
 def stack_scale(ylow: jax.Array, kernel_params, spec,
