@@ -67,6 +67,17 @@ def test_scale2x_u8_s2d_host_interleave(params, fast, rng):
     assert diff.max() <= 1 and (diff != 0).mean() < 0.01
 
 
+def test_scale2x_fused_u8_matches_unfused(params, fast, rng):
+    from waifu2x_tpu.ops.s2d import d2s_host_cmajor
+    from waifu2x_tpu.pipeline import scale2x_batch_u8_fused
+    yuv = jnp.asarray(rng.random((2, 18, 20, 3), dtype=np.float32))
+    ref = d2s_host(np.asarray(scale2x_batch_u8_s2d(yuv, fast)))
+    got = d2s_host_cmajor(np.asarray(scale2x_batch_u8_fused(yuv, fast)))
+    # same math, different op order inside the kernel: allow 1 u8 level
+    diff = np.abs(ref.astype(int) - got.astype(int))
+    assert diff.max() <= 1 and (diff != 0).mean() < 0.005
+
+
 def test_noise_batch_fast_matches_xla(params, rng):
     from waifu2x_tpu.pipeline import noise_batch, noise_batch_fast
     fast_n = FastStack.build(params, scale_input=False, tile=(16, 16),

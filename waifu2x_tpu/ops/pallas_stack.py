@@ -291,9 +291,15 @@ def _mid_sparse(src, w_ref, b_ref, spec, rows, wc, co, cdtype, dst, acc):
         ).astype(cdtype)
 
 
-def _k2_body(tr, tc, cdtype, accdt, spec5, spec6,
-             x4_ref, w5_ref, b5_ref, w6_ref, b6_ref, blk_ref, sel_ref,
-             b7_ref, out_ref, x5, zt, acc):
+def _k2_body(tr, tc, cdtype, accdt, spec5, spec6, fuse_u8,
+             x4_ref, *rest):
+    if fuse_u8:
+        (uvp_ref, w5_ref, b5_ref, w6_ref, b6_ref, blk_ref, sel_ref,
+         b7_ref, out_ref, x5, zt, acc) = rest
+    else:
+        uvp_ref = None
+        (w5_ref, b5_ref, w6_ref, b6_ref, blk_ref, sel_ref,
+         b7_ref, out_ref, x5, zt, acc) = rest
     wc = tc + 8
     x4 = x4_ref[0]
     _mid_sparse(x4, w5_ref, b5_ref, spec5, tr + 2, wc, 128, cdtype, x5, acc)
@@ -322,7 +328,27 @@ def _k2_body(tr, tc, cdtype, accdt, spec5, spec6,
             part = _dot3(zt[Dy:Dy + tr, Dx:Dx + tc, :],
                          sel_ref[(Dy * 2 + Dx) * 64:(Dy * 2 + Dx + 1) * 64, :])
             y = part if y is None else y + part
-    out_ref[0] = _leaky(y + b7_ref[0, 0]).astype(cdtype)
+    y = _leaky(y + b7_ref[0, 0])                   # f32 [tr, tc, 4 phases]
+    if not fuse_u8:
+        out_ref[0] = y.astype(cdtype)
+        return
+    # Fused output: combine with the polyphase bicubic U/V (channel-major
+    # lanes: u phases 0:4, v phases 4:8), apply OpenCV's YUV2RGB transform
+    # on BGR-ordered data (the reference's R/B-swap quirk, ops/color.py) and
+    # saturate-cast to u8 — all phases at once, no lane extracts. Output
+    # lanes are channel-major too: (c*4 + phase), c in {B, G, R, pad}.
+    from waifu2x_tpu.ops import color as _color
+    inv = _color._INV
+    off = _color._INV_OFF
+    u = uvp_ref[0][:, :, 0:4].astype(jnp.float32)
+    v = uvp_ref[0][:, :, 4:8].astype(jnp.float32)
+    chans = []
+    for c in range(3):
+        val = y * inv[c, 0] + u * inv[c, 1] + v * inv[c, 2] + off[c]
+        chans.append(val)
+    chans.append(jnp.zeros_like(y))
+    bgr = jnp.concatenate(chans, axis=-1) * jnp.float32(255.0)
+    out_ref[0] = jnp.clip(jnp.round(bgr), 0, 255).astype(jnp.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -340,11 +366,15 @@ def _full(shape, dtype=None):
     static_argnames=("tr", "tc", "ny", "nx", "spec", "interpret",
                      "acc_f32"))
 def _run_stack(xcol, kp, tr, tc, ny, nx, spec, interpret=False,
-               acc_f32=True):
+               acc_f32=True, uvp=None):
+    """uvp=None: emit converted Y in s2d layout (cdtype). uvp given
+    ([N, ny*tr, nx*tc, 8] channel-major U/V phases): K2 additionally fuses
+    the YUV->BGR + saturate-cast and emits u8, lanes (c*4 + phase)."""
     spec3, spec4, spec5, spec6 = spec
     n = xcol.shape[0]
     cdtype = xcol.dtype
     accdt = jnp.float32 if acc_f32 else cdtype
+    fuse_u8 = uvp is not None
     hb, wb = tr + 3, tc + 16            # X4 handoff block (one-sided halo 3,
     #                                     width padded for 8-sublane slices)
     def _xblk(di, dj):
@@ -382,22 +412,34 @@ def _run_stack(xcol, kp, tr, tc, ny, nx, spec, interpret=False,
     )(xcol, xcol, xcol, xcol, kp["l1"], kp["b1"], kp["w2a"], kp["b2a"],
       kp["w2b"], kp["b2b"], kp["w2c"], kp["b2c"])
 
+    uvp_specs = []
+    uvp_args = []
+    if fuse_u8:
+        uvp_specs = [pl.BlockSpec((1, tr, tc, 8),
+                                  lambda nn, i, j: (nn, i, j, 0),
+                                  memory_space=pltpu.VMEM)]
+        uvp_args = [uvp]
+        out_shape = jax.ShapeDtypeStruct((n, ny * tr, nx * tc, 16), jnp.uint8)
+    else:
+        out_shape = jax.ShapeDtypeStruct((n, ny * tr, nx * tc, 4), cdtype)
     y = pl.pallas_call(
-        functools.partial(_k2_body, tr, tc, cdtype, accdt, spec5, spec6),
+        functools.partial(_k2_body, tr, tc, cdtype, accdt, spec5, spec6,
+                          fuse_u8),
         grid=(n, ny, nx),
         in_specs=[
             pl.BlockSpec((1, hb, wb, 256), lambda nn, i, j: (nn, i, j, 0),
                          memory_space=pltpu.VMEM),
+            *uvp_specs,
             _full((4, 576, 128)), _full((1, 512)),
             _full((4, 1152, 128)), _full((1, 512)),
             _full((512, 64)), _full((256, 4)),
             pl.BlockSpec((1, 1), lambda nn, i, j: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, tr, tc, 4),
+        out_specs=pl.BlockSpec((1, tr, tc, out_shape.shape[-1]),
                                lambda nn, i, j: (nn, i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, ny * tr, nx * tc, 4), cdtype),
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((tr + 2, tc + 16, 512), cdtype),
             pltpu.VMEM((tr + 1, tc + 16, 64), jnp.float32),
@@ -405,7 +447,7 @@ def _run_stack(xcol, kp, tr, tc, ny, nx, spec, interpret=False,
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
-    )(x4, kp["w5"], kp["b5"], kp["w6"], kp["b6"], kp["l7_blk"],
+    )(x4, *uvp_args, kp["w5"], kp["b5"], kp["w6"], kp["b6"], kp["l7_blk"],
       kp["l7_sel"], kp["b7"])
     return y
 
@@ -466,6 +508,28 @@ def stack_scale(ylow: jax.Array, kernel_params, spec,
     y = _run_stack(xcol, kernel_params, tr, tc, ny, nx, spec,
                    interpret=interpret, acc_f32=acc_f32)
     return y[:, :hl, :wl, :]
+
+
+def stack_scale_fused_u8(ylow: jax.Array, uvp: jax.Array, kernel_params,
+                         spec, tile: tuple[int, int] = DEF_TILE,
+                         interpret: bool = False) -> jax.Array:
+    """Fully fused SCALE-path 2x step: low-res luma [N, hl, wl] + channel-
+    major polyphase U/V [N, hp, wp, 8] (hp/wp = tile-grid-padded dims; build
+    with `uv_phases_for`) -> uint8 BGR, lanes (c*4 + phase), [N, hl, wl, 16]
+    after cropping. K2 performs the YUV->BGR + saturate-cast in-kernel."""
+    tr, tc = tile
+    n, hl, wl = ylow.shape
+    ny, nx = _grid_for(hl, wl, tr, tc)
+    xcol = _xcol_scale(ylow, tr, tc)
+    out = _run_stack(xcol, kernel_params, tr, tc, ny, nx, spec,
+                     interpret=interpret, uvp=uvp)
+    return out[:, :hl, :wl, :]
+
+
+def grid_dims(hl: int, wl: int, tile: tuple[int, int]) -> tuple[int, int]:
+    """Tile-grid-padded dims (hp, wp) for a given image/tile size."""
+    ny, nx = _grid_for(hl, wl, tile[0], tile[1])
+    return ny * tile[0], nx * tile[1]
 
 
 def stack_noise(y: jax.Array, kernel_params, spec,

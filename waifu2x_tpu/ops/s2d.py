@@ -92,6 +92,18 @@ def d2s_host(x: np.ndarray) -> np.ndarray:
     return x.reshape(*n, h2 * 2, w2 * 2, c)
 
 
+def d2s_host_cmajor(x: np.ndarray, channels: int = 3) -> np.ndarray:
+    """Host d2s for CHANNEL-MAJOR polyphase layouts (lane = c*4 + (A*2+B)),
+    the layout the fully fused u8 kernel emits: [..., h, w, 4c'] ->
+    [..., 2h, 2w, channels] (trailing pad channels dropped)."""
+    *n, h2, w2, c4 = x.shape
+    c = c4 // 4
+    v = x.reshape(*n, h2, w2, c, 2, 2)
+    # [..., i, j, c, A, B] -> [..., i, A, j, B, c]
+    v = np.moveaxis(np.moveaxis(v, -2, -4), -1, -2)
+    return v.reshape(*n, h2 * 2, w2 * 2, c)[..., :channels]
+
+
 # ---------------------------------------------------------------------------
 # weight packing (host side, numpy f32)
 # ---------------------------------------------------------------------------

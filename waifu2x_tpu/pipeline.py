@@ -194,6 +194,32 @@ def scale2x_batch_u8_s2d(yuv: jax.Array, fast: FastStack) -> jax.Array:
     return u8.reshape(n, h, w, 12)
 
 
+@partial(jax.jit, static_argnames=("tile",))
+def _uv_phases_cmajor(yuv: jax.Array, tile) -> jax.Array:
+    """Channel-major polyphase U/V for the fused kernel: f32 YUV
+    [N, h, w, 3] -> [N, hp, wp, 8] (u phases 0:4, v phases 4:8), padded to
+    the tile grid by edge replication (interior values unchanged)."""
+    ps = _fast_import()
+    n, h, w, _ = yuv.shape
+    hp, wp = ps.grid_dims(h, w, tile)
+    uv = jnp.pad(yuv[..., 1:3], ((0, 0), (0, hp - h), (0, wp - w), (0, 0)),
+                 mode="edge")
+    phases = resize2x_phases(uv, CUBIC, h_axis=1)       # [N, hp, wp, 2, 4]
+    return phases.reshape(n, hp, wp, 8)
+
+
+def scale2x_batch_u8_fused(yuv: jax.Array, fast: FastStack) -> jax.Array:
+    """Fully fused throughput 2x step: f32 YUV [N, h, w, 3] -> uint8 BGR in
+    CHANNEL-MAJOR polyphase layout [N, h, w, 16] (lane c*4 + phase, lanes
+    12:16 zero). Interleave with d2s_host_cmajor. The conv stack, bicubic
+    U/V combine, color transform and u8 cast all run inside K2."""
+    ps = _fast_import()
+    uvp = _uv_phases_cmajor(yuv, fast.tile)
+    return ps.stack_scale_fused_u8(yuv[..., 0].astype(fast.dtype), uvp,
+                                   fast.kp, fast.spec, fast.tile,
+                                   interpret=fast.interpret)
+
+
 def scale2x_batch_fast(yuv: jax.Array, fast: FastStack) -> jax.Array:
     """Fast-path twin of scale2x_batch: f32 YUV [N,h,w,3] -> [N,2h,2w,3]
     (device-side interleave; used when further scale iterations follow)."""
