@@ -61,7 +61,7 @@ def main() -> int:
     from waifu2x_tpu.pipeline import (
         FastStack,
         scale2x_batch,
-        scale2x_batch_u8_s2d,
+        scale2x_batch_u8_fused,
     )
 
     params = init_params(jax.random.PRNGKey(0), WAIFU2X_7LAYER)
@@ -75,7 +75,7 @@ def main() -> int:
             r, c = args.tile.split("x")
             tile = (int(r), int(c))
         fast = FastStack.build(params, scale_input=True, tile=tile)
-        step = lambda x: scale2x_batch_u8_s2d(x, fast)  # noqa: E731
+        step = lambda x: scale2x_batch_u8_fused(x, fast)  # noqa: E731
     else:
         cfg = Config(mode="scale", precision=args.precision,
                      compute_dtype=args.compute_dtype)
@@ -124,13 +124,13 @@ def main() -> int:
     extra = {}
     if args.psnr:
         from waifu2x_tpu.ops.color import saturate_cast_u8, yuv_to_bgr
-        from waifu2x_tpu.ops.s2d import d2s_host
+        from waifu2x_tpu.ops.s2d import d2s_host_cmajor
         sl = yuv[:2]  # f32 reference at full batch would exceed HBM
         hi = np.asarray(saturate_cast_u8(yuv_to_bgr(scale2x_batch(
             sl, params, Config(mode="scale", precision="highest")))),
             np.float64)
         if args.impl == "pallas":
-            got = d2s_host(np.asarray(step(sl))).astype(np.float64)
+            got = d2s_host_cmajor(np.asarray(step(sl))).astype(np.float64)
         else:
             got = np.asarray(saturate_cast_u8(yuv_to_bgr(step(sl))),
                              np.float64)
