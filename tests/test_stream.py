@@ -1,0 +1,47 @@
+"""Streaming runtime: ordered, batched, dispatch-ahead 2x conversion."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from waifu2x_tpu.models.srcnn import WAIFU2X_7LAYER, init_params
+from waifu2x_tpu.ops.s2d import d2s_host_cmajor
+from waifu2x_tpu.pipeline import FastStack, scale2x_batch_u8_fused
+from waifu2x_tpu.stream import StreamConverter, _to_yuv_batch
+
+
+def _fast():
+    params = init_params(jax.random.PRNGKey(2), WAIFU2X_7LAYER)
+    return FastStack.build(params, scale_input=True, tile=(16, 16),
+                           interpret=True, dtype=jnp.float32)
+
+
+def test_stream_matches_batch(rng):
+    fast = _fast()
+    frames = [rng.integers(0, 256, (20, 24, 3), np.uint8) for _ in range(7)]
+    sc = StreamConverter(fast, batch=3, depth=2)
+    outs = list(sc.process_frames(frames))
+    assert len(outs) == 7
+    ref_yuv = _to_yuv_batch(jnp.asarray(np.stack(frames)))
+    ref = d2s_host_cmajor(np.asarray(scale2x_batch_u8_fused(ref_yuv, fast)))
+    for got, want in zip(outs, ref):
+        assert got.shape == (40, 48, 3)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_stream_paths(rng, tmp_path):
+    from waifu2x_tpu import io as w2x_io
+    fast = _fast()
+    paths, outs = [], []
+    imgs = []
+    for i in range(3):
+        img = rng.integers(0, 256, (16, 16, 3), np.uint8)
+        p = str(tmp_path / f"in{i}.png")
+        w2x_io.imwrite_bgr(p, img)
+        paths.append(p)
+        outs.append(str(tmp_path / f"out{i}.png"))
+        imgs.append(img)
+    StreamConverter(fast, batch=2).process_paths(paths, outs)
+    for i, op in enumerate(outs):
+        out = w2x_io.imread_bgr(op)
+        assert out.shape == (32, 32, 3)

@@ -348,7 +348,8 @@ def _k2_body(tr, tc, cdtype, accdt, spec5, spec6, fuse_u8,
         chans.append(val)
     chans.append(jnp.zeros_like(y))
     bgr = jnp.concatenate(chans, axis=-1) * jnp.float32(255.0)
-    out_ref[0] = jnp.clip(jnp.round(bgr), 0, 255).astype(jnp.uint8)
+    q = jnp.clip(jnp.round(bgr), 0, 255).astype(jnp.int32)
+    out_ref[0] = q.astype(jnp.uint8)  # Mosaic: no direct f32->u8 cast
 
 
 # ---------------------------------------------------------------------------
