@@ -37,7 +37,6 @@ tests/test_pallas_stack.py (interpret mode on CPU; real kernels on TPU).
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -242,9 +241,12 @@ def _k1_body(tr, tc, cdtype, accdt, spec3, spec4,
     x2[:, 0:wc, :] = block4(x1, w2a_ref, b2a_ref, tr + 5)
 
     # L3-L4: phase-pair matmuls (see pack_pair_kernel) — N packed to 2co,
-    # K-union 12ci, written per row-parity pair in lane chunks of 2co
+    # K-union 12ci. Both row-parity halves are stored in ONE full-lane
+    # write (a half-lane partial store to the pipelined buffers would be a
+    # masked read-modify-write of the whole block).
     def block_pair(src, w_ref, b_ref, spec, rows, dst, dst_is_out):
         co2 = w_ref.shape[2]
+        vals = []
         for A, entries in enumerate(spec):
             a = acc.at[0:rows, 0:wc, 0:co2]
             for g, (Dy, Dx, lo, hi, k0, klen) in enumerate(entries):
@@ -254,12 +256,13 @@ def _k1_body(tr, tc, cdtype, accdt, spec3, spec4,
                     a[...] = part
                 else:
                     a[...] += part
-            val = _leaky(a[...] + b_ref[0, A * co2:(A + 1) * co2]
-                         .astype(accdt)).astype(cdtype)
-            if dst_is_out:
-                dst[0, :, 0:wc, A * co2:(A + 1) * co2] = val
-            else:
-                dst[:, 0:wc, A * co2:(A + 1) * co2] = val
+            vals.append(_leaky(a[...] + b_ref[0, A * co2:(A + 1) * co2]
+                               .astype(accdt)).astype(cdtype))
+        val = jnp.concatenate(vals, axis=-1)
+        if dst_is_out:
+            dst[0, :, 0:wc, :] = val
+        else:
+            dst[:, 0:wc, :] = val
 
     block_pair(x2, w2b_ref, b2b_ref, spec3, tr + 4, x3, False)
     block_pair(x3, w2c_ref, b2c_ref, spec4, tr + 3, out_ref, True)
@@ -406,7 +409,7 @@ def _run_stack(xcol, kp, tr, tc, ny, nx, spec, interpret=False,
             pltpu.VMEM((tr + 6, tc + 16, 128), cdtype),
             pltpu.VMEM((tr + 5, tc + 16, 128), cdtype),
             pltpu.VMEM((tr + 4, tc + 16, 256), cdtype),
-            pltpu.VMEM((tr + 5, tc + 16, 256), accdt),
+            pltpu.VMEM((tr + 5, tc + 16, 128), accdt),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,

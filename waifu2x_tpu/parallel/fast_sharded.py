@@ -20,8 +20,6 @@ spans hosts and ppermute rides ICI within a slice / DCN across.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
