@@ -42,6 +42,11 @@ def main() -> int:
                     help="pallas tile as ROWSxCOLS, e.g. 256x64")
     ap.add_argument("--psnr", action="store_true",
                     help="also report PSNR vs the f32 highest-precision path")
+    ap.add_argument("--workload", default="scale512",
+                    choices=["scale512", "noise256", "ns1080"],
+                    help="BASELINE.json config shapes: scale512 = configs[1]"
+                         " (headline), noise256 = configs[0], ns1080 = "
+                         "configs[2] (noise2 + 2x on 1080p frames)")
     ap.add_argument("--stream", type=int, default=1,
                     help="frame-batches per dispatch (lax.scan video-stream "
                          "mode, BASELINE config[4]); 1 = one batch/dispatch "
@@ -66,20 +71,45 @@ def main() -> int:
 
     params = init_params(jax.random.PRNGKey(0), WAIFU2X_7LAYER)
     rng = np.random.default_rng(0)
+    if args.workload == "noise256":
+        args.size, h, w = 256, 256, 256
+    elif args.workload == "ns1080":
+        args.batch = min(args.batch, 4)
+        h, w = 1080, 1920
+    else:
+        h = w = args.size
     yuv = jnp.asarray(
-        rng.random((args.batch, args.size, args.size, 3), dtype=np.float32))
+        rng.random((args.batch, h, w, 3), dtype=np.float32))
+
+    tile = None
+    if args.tile:
+        r, c = args.tile.split("x")
+        tile = (int(r), int(c))
 
     if args.impl == "pallas":
-        tile = None
-        if args.tile:
-            r, c = args.tile.split("x")
-            tile = (int(r), int(c))
         fast = FastStack.build(params, scale_input=True, tile=tile)
-        step = lambda x: scale2x_batch_u8_fused(x, fast)  # noqa: E731
+        if args.workload == "noise256":
+            from waifu2x_tpu.pipeline import noise_batch_fast
+            fast_n = FastStack.build(params, scale_input=False, tile=tile)
+            step = lambda x: noise_batch_fast(x, fast_n)  # noqa: E731
+        elif args.workload == "ns1080":
+            from waifu2x_tpu.pipeline import noise_batch_fast
+            fast_n = FastStack.build(params, scale_input=False, tile=tile)
+            step = lambda x: scale2x_batch_u8_fused(  # noqa: E731
+                noise_batch_fast(x, fast_n), fast)
+        else:
+            step = lambda x: scale2x_batch_u8_fused(x, fast)  # noqa: E731
     else:
-        cfg = Config(mode="scale", precision=args.precision,
+        cfg = Config(mode="scale" if args.workload == "scale512"
+                     else "noise_scale" if args.workload == "ns1080"
+                     else "noise",
+                     precision=args.precision,
                      compute_dtype=args.compute_dtype)
-        step = lambda x: scale2x_batch(x, params, cfg)  # noqa: E731
+        from waifu2x_tpu.pipeline import noise_batch
+        if args.workload == "noise256":
+            step = lambda x: noise_batch(x, params, cfg)  # noqa: E731
+        else:
+            step = lambda x: scale2x_batch(x, params, cfg)  # noqa: E731
 
     def sync(arr):
         # NOTE: under this environment's remote-TPU relay,
@@ -93,7 +123,7 @@ def main() -> int:
         # state into one program — one dispatch per `stream` batches, no
         # host round-trip between batches (BASELINE config[4] shape).
         frames = jnp.asarray(rng.random(
-            (stream, args.batch, args.size, args.size, 3), dtype=np.float32))
+            (stream, args.batch, h, w, 3), dtype=np.float32))
 
         @jax.jit
         def run(xs):
@@ -118,7 +148,8 @@ def main() -> int:
     times = [trial(iters) for _ in range(3)]
     dt = min(times)
 
-    out_mp = stream * args.batch * (2 * args.size) ** 2 / 1e6
+    up = 1 if args.workload == "noise256" else 2
+    out_mp = stream * args.batch * (up * h) * (up * w) / 1e6
     mp_per_s = out_mp * iters / dt
 
     extra = {}
@@ -139,9 +170,9 @@ def main() -> int:
             float(10 * np.log10(255.0 ** 2 / mse)) if mse > 0 else float("inf"))
 
     result = {
-        "metric": "megapixels/sec/chip at 2x scale "
+        "metric": f"megapixels/sec/chip, workload={args.workload} "
                   f"(stream={stream}x batch={args.batch}, "
-                  f"{args.size}px frames, impl={args.impl}, u8-BGR out, "
+                  f"{h}x{w} frames, impl={args.impl}, "
                   f"device={jax.devices()[0].device_kind})",
         "value": round(mp_per_s, 2),
         "unit": "MP/s",

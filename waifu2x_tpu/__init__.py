@@ -10,10 +10,13 @@ training pipeline.
 
 Package layout (reference components in parentheses, see SURVEY.md §2):
   models/    weight format + model spec          (C6, C7, C16)
-  ops/       color, resize, conv stack, Pallas   (C2, C5, C8, C9, C11)
-  parallel/  tile planner, sharded mesh runner   (C12 + north-star scaling)
-  train/     training pipeline                   (C19)
-  runtime/   native host runtime bindings        (C8's thread pool analogue)
+  ops/       color, resize, conv stack, s2d,
+             fused Pallas kernels                (C2, C5, C8, C9, C11)
+  parallel/  tile planner, sharded mesh runners  (C12 + north-star scaling)
+  train/     training pipeline + checkpointing   (C19)
+  native.py  C++ host runtime bindings (codecs,
+             thread pool, u8 interleave)         (C2 + C8's thread pool)
+  stream.py  batch/video serving runtime         (configs[3..4])
   pipeline.py / cli.py / io.py                   (C1-C5, C10)
 """
 
