@@ -206,16 +206,26 @@ def _uv_phases_cmajor(yuv: jax.Array, tile) -> jax.Array:
     return phases.reshape(n, hp, wp, 8)
 
 
+@partial(jax.jit,
+         static_argnames=("tile", "spec", "interpret", "dtype"))
+def _fused_step(yuv, kp, tile, spec, interpret, dtype):
+    # one jit for the WHOLE step: the U/V polyphase prep, the im2col build
+    # and both Pallas kernels trace into a single program — each extra
+    # dispatch costs ~3 ms through the remote-TPU relay
+    ps = _fast_import()
+    uvp = _uv_phases_cmajor(yuv, tile)
+    return ps.stack_scale_fused_u8(yuv[..., 0].astype(dtype), uvp,
+                                   kp, spec, tile, interpret=interpret)
+
+
 def scale2x_batch_u8_fused(yuv: jax.Array, fast: FastStack) -> jax.Array:
     """Fully fused throughput 2x step: f32 YUV [N, h, w, 3] -> uint8 BGR in
     CHANNEL-MAJOR polyphase layout [N, h, w, 16] (lane c*4 + phase, lanes
     12:16 zero). Interleave with d2s_host_cmajor. The conv stack, bicubic
-    U/V combine, color transform and u8 cast all run inside K2."""
-    ps = _fast_import()
-    uvp = _uv_phases_cmajor(yuv, fast.tile)
-    return ps.stack_scale_fused_u8(yuv[..., 0].astype(fast.dtype), uvp,
-                                   fast.kp, fast.spec, fast.tile,
-                                   interpret=fast.interpret)
+    U/V combine, color transform and u8 cast all run inside K2, and the
+    entire step is one device dispatch."""
+    return _fused_step(yuv, fast.kp, fast.tile, fast.spec, fast.interpret,
+                       jnp.dtype(fast.dtype).type)
 
 
 def scale2x_batch_fast(yuv: jax.Array, fast: FastStack) -> jax.Array:
