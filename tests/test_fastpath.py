@@ -78,6 +78,14 @@ def test_scale2x_fused_u8_matches_unfused(params, fast, rng):
     assert diff.max() <= 1 and (diff != 0).mean() < 0.005
 
 
+def test_scale2x_fused_banded_exact(params, fast, rng):
+    from waifu2x_tpu.pipeline import scale2x_batch_u8_fused
+    yuv = jnp.asarray(rng.random((1, 50, 20, 3), dtype=np.float32))
+    whole = np.asarray(scale2x_batch_u8_fused(yuv, fast, band_rows=64))
+    banded = np.asarray(scale2x_batch_u8_fused(yuv, fast, band_rows=16))
+    np.testing.assert_array_equal(banded, whole)
+
+
 def test_noise_batch_fast_matches_xla(params, rng):
     from waifu2x_tpu.pipeline import noise_batch, noise_batch_fast
     fast_n = FastStack.build(params, scale_input=False, tile=(16, 16),

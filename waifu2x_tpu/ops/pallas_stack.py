@@ -463,6 +463,33 @@ def _grid_for(hl: int, wl: int, tr: int, tc: int) -> tuple[int, int]:
     return -(-hl // tr), -(-wl // tc)
 
 
+# VMEM budget expressed in tile cells: (tr+2)*(tc+16) for the known-good
+# (64, 128) default ~= 9500; larger tiles hit the 128 MB compile limit.
+_MAX_CELLS = (64 + 2) * (128 + 16)
+
+
+def pick_tile(hl: int, wl: int) -> tuple[int, int]:
+    """Choose an (rows, cols) s2d tile for an hl x wl low-res image.
+
+    Rows have no alignment constraint and columns must be multiples of 8,
+    so the search minimizes total kernel work — grid padding (ceil to tile
+    multiples) plus the per-tile halo (+4.5 rows avg across K1/K2 layers,
+    +8 compute columns) — under the VMEM cell budget. For 512-multiples
+    this returns the measured-best (64, 128); for e.g. 540x960 (1080p) it
+    finds exact divisors and removes the ~14%% grid-pad waste of a fixed
+    tile."""
+    best = None
+    for tr in range(24, 129, 2):
+        for tc in range(96, 161, 8):
+            if (tr + 2) * (tc + 16) > _MAX_CELLS:
+                continue
+            ny, nx = -(-hl // tr), -(-wl // tc)
+            work = ny * nx * (tr + 4.5) * (tc + 8)
+            if best is None or work < best[0]:
+                best = (work, tr, tc)
+    return best[1], best[2]
+
+
 @functools.partial(jax.jit, static_argnames=("tr", "tc"))
 def _xcol_scale(ylow, tr, tc):
     """Edge-pad the low-res plane to the tile grid and build the 16-lane
@@ -500,13 +527,13 @@ def _xcol_noise(y, tr, tc):
 
 
 def stack_scale(ylow: jax.Array, kernel_params, spec,
-                tile: tuple[int, int] = DEF_TILE,
+                tile: tuple[int, int] | None = None,
                 interpret: bool = False, acc_f32: bool = True) -> jax.Array:
     """SCALE-path fused stack: low-res luma [N, hl, wl] -> converted Y in
     s2d layout [N, hl, wl, 4] (channel (A*2+B) = full-res pixel (2i+A, 2j+B);
     equals the reference's nearest-2x + pad-7 + 7-layer stack)."""
-    tr, tc = tile
     n, hl, wl = ylow.shape
+    tr, tc = tile or pick_tile(hl, wl)
     ny, nx = _grid_for(hl, wl, tr, tc)
     xcol = _xcol_scale(ylow, tr, tc)
     y = _run_stack(xcol, kernel_params, tr, tc, ny, nx, spec,
@@ -515,14 +542,14 @@ def stack_scale(ylow: jax.Array, kernel_params, spec,
 
 
 def stack_scale_fused_u8(ylow: jax.Array, uvp: jax.Array, kernel_params,
-                         spec, tile: tuple[int, int] = DEF_TILE,
+                         spec, tile: tuple[int, int] | None = None,
                          interpret: bool = False) -> jax.Array:
     """Fully fused SCALE-path 2x step: low-res luma [N, hl, wl] + channel-
     major polyphase U/V [N, hp, wp, 8] (hp/wp = tile-grid-padded dims; build
     with `uv_phases_for`) -> uint8 BGR, lanes (c*4 + phase), [N, hl, wl, 16]
     after cropping. K2 performs the YUV->BGR + saturate-cast in-kernel."""
-    tr, tc = tile
     n, hl, wl = ylow.shape
+    tr, tc = tile or pick_tile(hl, wl)
     ny, nx = _grid_for(hl, wl, tr, tc)
     xcol = _xcol_scale(ylow, tr, tc)
     out = _run_stack(xcol, kernel_params, tr, tc, ny, nx, spec,
@@ -530,21 +557,23 @@ def stack_scale_fused_u8(ylow: jax.Array, uvp: jax.Array, kernel_params,
     return out[:, :hl, :wl, :]
 
 
-def grid_dims(hl: int, wl: int, tile: tuple[int, int]) -> tuple[int, int]:
+def grid_dims(hl: int, wl: int,
+              tile: tuple[int, int] | None) -> tuple[int, int]:
     """Tile-grid-padded dims (hp, wp) for a given image/tile size."""
-    ny, nx = _grid_for(hl, wl, tile[0], tile[1])
-    return ny * tile[0], nx * tile[1]
+    tr, tc = tile or pick_tile(hl, wl)
+    ny, nx = _grid_for(hl, wl, tr, tc)
+    return ny * tr, nx * tc
 
 
 def stack_noise(y: jax.Array, kernel_params, spec,
-                tile: tuple[int, int] = DEF_TILE,
+                tile: tuple[int, int] | None = None,
                 interpret: bool = False, acc_f32: bool = True) -> jax.Array:
     """NOISE-path fused stack: [N, h, w] -> same-size converted plane.
     Odd sizes are edge-padded to even first (replicate-pad composition
     keeps the interior bit-identical — convertRoutine.cpp:35-36 semantics).
     """
-    tr, tc = tile
     n, h, w = y.shape
+    tr, tc = tile or pick_tile(-(-h // 2), -(-w // 2))
     he, we = h + (h % 2), w + (w % 2)
     if (he, we) != (h, w):
         y = jnp.pad(y, ((0, 0), (0, he - h), (0, we - w)), mode="edge")

@@ -142,19 +142,20 @@ class FastStack:
 
     kp: dict
     spec: tuple
-    tile: tuple[int, int]
+    tile: "tuple[int, int] | None"   # None = auto per image shape
     interpret: bool = False
 
     @classmethod
     def build(cls, params, scale_input: bool, tile=None,
               interpret: bool = False, dtype=jnp.bfloat16) -> "FastStack":
+        """tile=None picks a per-image-shape tile (pallas_stack.pick_tile)."""
         ps = _fast_import()
         kp, spec = ps.prep_params(params, scale_input, dtype=dtype)
         # off-TPU the kernels run through the Pallas interpreter (tests, CI);
         # the axon remote-TPU platform reports device_kind "TPU v5 lite"
         is_tpu = any("TPU" in d.device_kind for d in jax.devices())
         interpret = interpret or not is_tpu
-        return cls(kp, spec, tile or ps.DEF_TILE, interpret)
+        return cls(kp, spec, tile, interpret)
 
     @property
     def dtype(self):
@@ -218,14 +219,41 @@ def _fused_step(yuv, kp, tile, spec, interpret, dtype):
                                    kp, spec, tile, interpret=interpret)
 
 
-def scale2x_batch_u8_fused(yuv: jax.Array, fast: FastStack) -> jax.Array:
+BAND_ROWS = 512      # low-res rows per banded dispatch (large frames)
+_BAND_HALO = 4       # one-sided receptive radius of the whole 2x step
+
+
+def scale2x_batch_u8_fused(yuv: jax.Array, fast: FastStack,
+                           band_rows: int = BAND_ROWS) -> jax.Array:
     """Fully fused throughput 2x step: f32 YUV [N, h, w, 3] -> uint8 BGR in
     CHANNEL-MAJOR polyphase layout [N, h, w, 16] (lane c*4 + phase, lanes
     12:16 zero). Interleave with d2s_host_cmajor. The conv stack, bicubic
-    U/V combine, color transform and u8 cast all run inside K2, and the
-    entire step is one device dispatch."""
-    return _fused_step(yuv, fast.kp, fast.tile, fast.spec, fast.interpret,
-                       jnp.dtype(fast.dtype).type)
+    U/V combine, color transform and u8 cast all run inside K2.
+
+    Frames taller than `band_rows` (low-res) are processed in row bands
+    with an 8-row overlap — the kernels' X4 handoff buffer is ~2.4 kB per
+    low-res pixel, so banding keeps 4K/8K frame streams inside HBM. Band
+    outputs are exact (the step's one-sided receptive radius is 4 low-res
+    rows; overlap rows are cropped, true edges keep replicate semantics).
+    All interior bands share one compiled shape."""
+    ps = _fast_import()
+    n, h, w, _ = yuv.shape
+    tile = fast.tile or ps.pick_tile(min(h, band_rows), w)
+    dtype = jnp.dtype(fast.dtype).type
+    if h <= band_rows:
+        return _fused_step(yuv, fast.kp, tile, fast.spec, fast.interpret,
+                           dtype)
+    k = _BAND_HALO
+    size = min(h, band_rows + 2 * k)
+    outs = []
+    for b0 in range(0, h, band_rows):
+        rows = min(band_rows, h - b0)
+        s = min(max(0, b0 - k), h - size)
+        out = _fused_step(
+            jax.lax.dynamic_slice_in_dim(yuv, s, size, axis=1),
+            fast.kp, tile, fast.spec, fast.interpret, dtype)
+        outs.append(out[:, b0 - s:b0 - s + rows])
+    return jnp.concatenate(outs, axis=1)
 
 
 def scale2x_batch_fast(yuv: jax.Array, fast: FastStack) -> jax.Array:
