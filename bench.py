@@ -74,9 +74,9 @@ def main() -> int:
     if args.workload == "noise256":
         args.size, h, w = 256, 256, 256
     elif args.workload == "ns1080":
-        # the X4 kernel-handoff buffer is ~1.3 GB per 1080p frame at 2x;
-        # batch 2 keeps the chained noise+scale programs inside 16 GB HBM
-        args.batch = min(args.batch, 2)
+        # row banding caps the X4 kernel-handoff buffer; batch 4 keeps the
+        # chained noise+scale programs comfortably inside 16 GB HBM
+        args.batch = min(args.batch, 4)
         h, w = 1080, 1920
     else:
         h = w = args.size

@@ -96,6 +96,11 @@ def test_noise_batch_fast_matches_xla(params, rng):
     got = noise_batch_fast(yuv, fast_n)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=0, atol=1e-4)
+    # banded == unbanded (even heights; 16-row overlap covers the radius)
+    yuv = jnp.asarray(rng.random((1, 60, 22, 3), dtype=np.float32))
+    whole = np.asarray(noise_batch_fast(yuv, fast_n, band_rows=64))
+    banded = np.asarray(noise_batch_fast(yuv, fast_n, band_rows=20))
+    np.testing.assert_array_equal(banded, whole)
 
 
 def test_converter_pallas_matches_xla(params, rng, tmp_path):

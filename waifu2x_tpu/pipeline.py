@@ -238,21 +238,24 @@ def scale2x_batch_u8_fused(yuv: jax.Array, fast: FastStack,
     All interior bands share one compiled shape."""
     ps = _fast_import()
     n, h, w, _ = yuv.shape
-    tile = fast.tile or ps.pick_tile(min(h, band_rows), w)
     dtype = jnp.dtype(fast.dtype).type
     if h <= band_rows:
+        tile = fast.tile or ps.pick_tile(h, w)
         return _fused_step(yuv, fast.kp, tile, fast.spec, fast.interpret,
                            dtype)
     k = _BAND_HALO
-    size = min(h, band_rows + 2 * k)
+    n_bands = -(-h // band_rows)
+    rows = -(-h // n_bands)          # even bands: no oversized tail slice
+    size = min(h, rows + 2 * k)
+    tile = fast.tile or ps.pick_tile(size, w)
     outs = []
-    for b0 in range(0, h, band_rows):
-        rows = min(band_rows, h - b0)
+    for b0 in range(0, h, rows):
+        nrows = min(rows, h - b0)
         s = min(max(0, b0 - k), h - size)
         out = _fused_step(
             jax.lax.dynamic_slice_in_dim(yuv, s, size, axis=1),
             fast.kp, tile, fast.spec, fast.interpret, dtype)
-        outs.append(out[:, b0 - s:b0 - s + rows])
+        outs.append(out[:, b0 - s:b0 - s + nrows])
     return jnp.concatenate(outs, axis=1)
 
 
@@ -264,11 +267,28 @@ def scale2x_batch_fast(yuv: jax.Array, fast: FastStack) -> jax.Array:
     return d2s(s2d_out.reshape(n, h, w, 12))
 
 
-def noise_batch_fast(yuv: jax.Array, fast: FastStack) -> jax.Array:
+def noise_batch_fast(yuv: jax.Array, fast: FastStack,
+                     band_rows: int = 2 * BAND_ROWS) -> jax.Array:
     """Fast-path twin of noise_batch: f32 YUV [N,h,w,3] -> same shape with
-    the Y plane denoised through the fused kernels."""
-    y = fast.noise(yuv[..., 0])
-    return yuv.at[..., 0].set(y.astype(yuv.dtype))
+    the Y plane denoised through the fused kernels. Tall frames run in row
+    bands (full-res rows; 16-row overlap covers the 7-px receptive radius
+    on even s2d boundaries) to bound the kernels' handoff buffer."""
+    n, h, w, _ = yuv.shape
+    if h <= band_rows or h % 2:   # odd heights: keep s2d parity, no banding
+        y = fast.noise(yuv[..., 0])
+        return yuv.at[..., 0].set(y.astype(yuv.dtype))
+    k = 8
+    n_bands = -(-h // band_rows)
+    rows = 2 * (-(-h // (2 * n_bands)))      # even band heights
+    size = min(h, rows + 2 * k)
+    parts = []
+    for b0 in range(0, h, rows):
+        nrows = min(rows, h - b0)
+        s = min(max(0, b0 - k), h - size)
+        y = fast.noise(
+            jax.lax.dynamic_slice_in_dim(yuv[..., 0], s, size, axis=1))
+        parts.append(y[:, b0 - s:b0 - s + nrows].astype(yuv.dtype))
+    return yuv.at[..., 0].set(jnp.concatenate(parts, axis=1))
 
 
 @jax.jit
