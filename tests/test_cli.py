@@ -117,3 +117,24 @@ def test_zoo_identity_roundtrip(tmp_path):
         np.testing.assert_array_equal(p["w"], q["w"])
     # idempotent
     assert ensure_default_models(str(tmp_path), spec) == []
+
+
+def test_cli_multiple_inputs(tmp_path, rng):
+    spec = ModelSpec.from_widths([1, 3, 1])
+    model_dir = str(tmp_path / "models")
+    _write_models(model_dir, spec)
+    srcs = []
+    for i in range(3):
+        p = str(tmp_path / f"f{i}.png")
+        w2x_io.imwrite_bgr(p, rng.integers(0, 256, (10 + 2 * i, 12, 3),
+                                           dtype=np.uint8))
+        srcs.append(p)
+    rc = main(["-i", *srcs, "-m", "scale", "--model_dir", model_dir])
+    assert rc == 0
+    for i in range(3):
+        out = str(tmp_path / f"f{i}(scale)(x2.000000).png")
+        assert w2x_io.imread_bgr(out).shape == ((10 + 2 * i) * 2, 24, 3)
+    # -o with multiple inputs is rejected
+    rc = main(["-i", *srcs, "-o", str(tmp_path / "x.png"),
+               "--model_dir", model_dir])
+    assert rc == 1

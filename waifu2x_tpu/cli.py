@@ -28,8 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
         description="waifu2x on TPU (JAX/XLA/Pallas reimplementation)",
     )
     # --- reference flags, identical semantics (main.cpp:26-61) ---
-    p.add_argument("-i", "--input_file", required=True,
-                   help="path to input image file")
+    p.add_argument("-i", "--input_file", required=True, nargs="+",
+                   help="path to input image file(s); multiple files are "
+                        "decoded by the native thread pool (-j) and share "
+                        "one loaded model (outputs auto-named)")
     p.add_argument("-o", "--output_file", default="(auto)",
                    help="path to output image file")
     p.add_argument("-m", "--mode", default="noise_scale",
@@ -98,6 +100,12 @@ def main(argv: list[str] | None = None) -> int:
             log.warning("generated placeholder identity models: %s",
                         ", ".join(made))
 
+    inputs = args.input_file
+    if len(inputs) > 1 and args.output_file != "(auto)":
+        log.error("-o is only valid with a single input file "
+                  "(multiple inputs auto-name their outputs)")
+        return 1
+
     t0 = time.perf_counter()
     try:
         converter = Converter.from_config(cfg)
@@ -106,43 +114,50 @@ def main(argv: list[str] | None = None) -> int:
         return 1
 
     try:
-        img = w2x_io.imread_bgr(args.input_file)
+        imgs = (w2x_io.imread_batch_bgr(inputs, jobs=cfg.jobs)
+                if len(inputs) > 1 else [w2x_io.imread_bgr(inputs[0])])
     except (FileNotFoundError, IOError) as e:
         log.error("%s", e)
         return 1
-    alpha = None
-    if cfg.alpha == "bicubic":
-        bgra = w2x_io.imread_bgra(args.input_file)
-        if bgra is not None:
-            alpha = bgra[:, :, 3]
 
     if cfg.mode in ("noise", "noise_scale"):
         log.info("noise reduction (level %d)", cfg.noise_level)
     if cfg.mode in ("scale", "noise_scale"):
         log.info("start scaling (ratio %.6f)", cfg.scale_ratio)
 
+    import contextlib
     if args.profile:
         import jax
-        with jax.profiler.trace(args.profile):
-            out = converter.process_bgr_u8(img)
+        profile_ctx = jax.profiler.trace(args.profile)
     else:
-        out = converter.process_bgr_u8(img)
+        profile_ctx = contextlib.nullcontext()
 
-    if alpha is not None:
-        import numpy as np
-        a = converter.process_alpha(alpha)
-        out = np.concatenate([out, a[:, :, None]], axis=2)
+    total_mp = 0.0
+    with profile_ctx:
+        for path, img in zip(inputs, imgs):
+            alpha = None
+            if cfg.alpha == "bicubic":
+                bgra = w2x_io.imread_bgra(path)
+                if bgra is not None:
+                    alpha = bgra[:, :, 3]
 
-    out_name = args.output_file
-    if out_name == "(auto)":
-        out_name = w2x_io.auto_output_name(
-            args.input_file, cfg.mode, cfg.noise_level, cfg.scale_ratio)
-    w2x_io.imwrite_bgr(out_name, out)
+            out = converter.process_bgr_u8(img)
+            if alpha is not None:
+                import numpy as np
+                a = converter.process_alpha(alpha)
+                out = np.concatenate([out, a[:, :, None]], axis=2)
+
+            out_name = args.output_file
+            if out_name == "(auto)" or len(inputs) > 1:
+                out_name = w2x_io.auto_output_name(
+                    path, cfg.mode, cfg.noise_level, cfg.scale_ratio)
+            w2x_io.imwrite_bgr(out_name, out)
+            total_mp += out.shape[0] * out.shape[1] / 1e6
+            log.info("wrote %s", out_name)
 
     dt = time.perf_counter() - t0
-    mp = out.shape[0] * out.shape[1] / 1e6
-    log.info("wrote %s (%.2f MP in %.3fs, %.2f MP/s incl. compile)",
-             out_name, mp, dt, mp / dt)
+    log.info("%d file(s), %.2f MP in %.3fs (%.2f MP/s incl. compile)",
+             len(inputs), total_mp, dt, total_mp / dt)
     log.info("process successfully done!")
     return 0
 
