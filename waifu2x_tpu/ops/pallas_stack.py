@@ -7,27 +7,31 @@ which runs this stack at ~45 MXU passes/px. The polyphase math (ops/s2d.py)
 needs only ~23: every 3x3 layer becomes shift-and-matmul in space-to-depth
 layout with the contraction dim packed to >=128 lanes.
 
-Two kernels, each fusing several layers so activations never leave VMEM:
+ONE kernel fuses all 7 layers so activations never leave VMEM:
 
-  K1 (layers 1-4):  xcol [N,.,.,16] -> X4 in s2d layout [N,.,.,256]
+  layers 1-4:  xcol [N,.,.,16] -> X4 in a VMEM scratch [tr+3,.,256]
       L1 is a single 1x1 matmul over the precomputed 3x3 im2col of the raw
       LOW-RES plane (scale path; the nearest-2x upscale is algebraically
       folded away — see pack_l1_scale) or of the 4-lane s2d input (noise
       path). L2-L4 are 4-tap shift-matmuls with dense packed W2.
 
-  K2 (layers 5-7):  X4 [N,.,.,256] -> Y in s2d layout [N,.,.,4]
+  layers 5-7:  X4 scratch -> Y in s2d layout [N,.,.,4] (or fused u8 BGR)
       L5/L6 use the phase-sparse decomposition (6 resp. 9 MXU passes/px,
       skipping the structural zeros of W2). L7 is the block-diagonal tap
       matmul + 0/1 selection matmul shift-sum.
 
+(The stack originally ran as two kernels handing X4 off through HBM;
+measurement showed a computed value stored into a pipelined HBM out block
+costs ~1.5 ms/4 frames of serialized tail VPU time that a scratch store
+does not — scratch/l4_shift_probe.py — and the handoff round-trip was
+1.26 GB per 16-frame batch. Single-kernel is bit-identical and faster.)
+
 Tiling: 2-D spatial tiles on the s2d (= low-res) grid, batch in the grid.
 Valid convs look "forward" only, so halos are one-sided: an output tile of
-TAU rows needs TAU+6 input rows in K1 and TAU+3 in K2. K1 reads its
-overlapping input tile by manual DMA from HBM (it is a 16-lane map — tiny);
-K1 writes X4 as *disjoint* (TAU+3)-sized blocks (each carrying the halo K2
-needs), so K2 runs entirely on automatically pipelined BlockSpecs. All
-matmuls run in bf16 with f32 accumulation on the MXU; cross-tap sums, bias
-and LeakyReLU(0.1) are f32.
+TAU rows needs TAU+6 input rows. The overlapping input window is assembled
+in VMEM from four non-overlapping neighbor blocks of the 16-lane im2col
+map (pipelined BlockSpec fetches). All matmuls run in bf16 with f32
+accumulation on the MXU; cross-tap sums, bias and LeakyReLU(0.1) are f32.
 
 Numerics and semantics are proven equal to the reference conv stack
 (conv_stack_valid) via ops/s2d.py in tests/test_s2d.py and directly in
@@ -201,14 +205,26 @@ def _leaky(x):
     return jnp.maximum(x, 0) + jnp.float32(0.1) * jnp.minimum(x, 0)
 
 
-def _k1_body(tr, tc, cdtype, accdt, spec3, spec4,
-             xa, xb, xc, xd, l1_ref, b1_ref, w2a_ref, b2a_ref, w2b_ref,
-             b2b_ref, w2c_ref, b2c_ref, out_ref, xin, x1, x2, x3, acc):
+def _stack_body(tr, tc, cdtype, accdt, spec, fuse_u8, xa, xb, xc, xd,
+                l1_ref, b1_ref, w2a_ref, b2a_ref, w2b_ref, b2b_ref, w2c_ref,
+                b2c_ref, w5_ref, b5_ref, w6_ref, b6_ref, blk_ref, sel_ref,
+                b7_ref, *rest):
+    """The whole 7-layer stack as ONE kernel body (uvp_ref present iff
+    fuse_u8). Fusing K1+K2 keeps the X4 handoff in a VMEM scratch: storing
+    a computed value into a pipelined HBM out block costs ~1.5 ms per 4
+    frames of serialized VPU time at the body's tail (measured,
+    scratch/l4_shift_probe.py) and the round-trip was 1.26 GB per 16-frame
+    batch; scratch stores run at model speed."""
+    if fuse_u8:
+        uvp_ref, out_ref, xin, x1, x2, x3, x4, x5, zt, acc = rest
+    else:
+        out_ref, xin, x1, x2, x3, x4, x5, zt, acc = rest
+    spec3, spec4, spec5, spec6 = spec
     # Mosaic alignment: the sublane (second-minor) dim of every VMEM slice
     # and store must be a multiple of 8, so all buffers carry tau+16 columns
-    # and compute runs at width tau+8; the columns beyond tau+3 are padding/
-    # garbage that downstream stages never read (the valid-conv halo is
-    # one-sided, so junk only ever propagates rightward within the pad
+    # and compute runs at width tau+8; the columns beyond the valid tau are
+    # padding/garbage that downstream stages never read (the valid-conv halo
+    # is one-sided, so junk only ever propagates rightward within the pad
     # region). Row (untiled) dims are exact.
     #
     # The overlapping (tr+6, tc+16) input window is assembled from four
@@ -242,12 +258,12 @@ def _k1_body(tr, tc, cdtype, accdt, spec3, spec4,
 
     # L3-L4: phase-pair matmuls (see pack_pair_kernel) — N packed to 2co,
     # K-union 12ci. Both row-parity halves are stored in ONE full-lane
-    # write (a half-lane partial store to the pipelined buffers would be a
-    # masked read-modify-write of the whole block).
-    def block_pair(src, w_ref, b_ref, spec, rows, dst, dst_is_out):
+    # write (a half-lane partial store would be a masked read-modify-write
+    # of the whole buffer).
+    def block_pair(src, w_ref, b_ref, pspec, rows, dst):
         co2 = w_ref.shape[2]
         vals = []
-        for A, entries in enumerate(spec):
+        for A, entries in enumerate(pspec):
             a = acc.at[0:rows, 0:wc, 0:co2]
             for g, (Dy, Dx, lo, hi, k0, klen) in enumerate(entries):
                 part = _dot3(src[Dy:Dy + rows, Dx:Dx + wc, lo:hi],
@@ -258,53 +274,12 @@ def _k1_body(tr, tc, cdtype, accdt, spec3, spec4,
                     a[...] += part
             vals.append(_leaky(a[...] + b_ref[0, A * co2:(A + 1) * co2]
                                .astype(accdt)).astype(cdtype))
-        val = jnp.concatenate(vals, axis=-1)
-        if dst_is_out:
-            dst[0, :, 0:wc, :] = val
-        else:
-            dst[:, 0:wc, :] = val
+        dst[:, 0:wc, :] = jnp.concatenate(vals, axis=-1)
 
-    block_pair(x2, w2b_ref, b2b_ref, spec3, tr + 4, x3, False)
-    block_pair(x3, w2c_ref, b2c_ref, spec4, tr + 3, out_ref, True)
+    block_pair(x2, w2b_ref, b2b_ref, spec3, tr + 4, x3)
+    block_pair(x3, w2c_ref, b2c_ref, spec4, tr + 3, x4)
 
-
-def _gather_k(src, rows, wc, Dy, Dx, lane_slices):
-    """Operand for one merged group: lane slices at one block shift,
-    concatenated along lanes (identical sublane offsets -> layout-free)."""
-    parts = [src[Dy:Dy + rows, Dx:Dx + wc, lo:hi] for lo, hi in lane_slices]
-    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
-
-
-def _mid_sparse(src, w_ref, b_ref, spec, rows, wc, co, cdtype, dst, acc):
-    """One phase-sparse mid layer: src [rows+1, >=wc+1, 4ci] -> dst
-    [rows, wc, 4co] (written per-phase in lane chunks of co); `acc` is a
-    reused scratch for the in-place group accumulation."""
-    accdt = acc.dtype
-    for p, entries in enumerate(spec):
-        a = acc.at[0:rows, 0:wc, 0:co]
-        for g, (Dy, Dx, lanes, k0, klen) in enumerate(entries):
-            part = _dot3(_gather_k(src, rows, wc, Dy, Dx, lanes),
-                         w_ref[p, k0:k0 + klen, :], accdt)
-            if g == 0:
-                a[...] = part
-            else:
-                a[...] += part
-        dst[:, 0:wc, p * co:(p + 1) * co] = _leaky(
-            a[...] + b_ref[0, p * co:(p + 1) * co].astype(accdt)
-        ).astype(cdtype)
-
-
-def _k2_body(tr, tc, cdtype, accdt, spec5, spec6, fuse_u8,
-             x4_ref, *rest):
-    if fuse_u8:
-        (uvp_ref, w5_ref, b5_ref, w6_ref, b6_ref, blk_ref, sel_ref,
-         b7_ref, out_ref, x5, zt, acc) = rest
-    else:
-        uvp_ref = None
-        (w5_ref, b5_ref, w6_ref, b6_ref, blk_ref, sel_ref,
-         b7_ref, out_ref, x5, zt, acc) = rest
-    wc = tc + 8
-    x4 = x4_ref[0]
+    # L5: phase-sparse mid layer out of the X4 scratch
     _mid_sparse(x4, w5_ref, b5_ref, spec5, tr + 2, wc, 128, cdtype, x5, acc)
     # L6 fused with L7's block-diagonal tap matmul, one output phase at a
     # time: the full 512-lane X6 never exists (VMEM), and the tap partials
@@ -355,6 +330,32 @@ def _k2_body(tr, tc, cdtype, accdt, spec5, spec6, fuse_u8,
     out_ref[0] = q.astype(jnp.uint8)  # Mosaic: no direct f32->u8 cast
 
 
+def _gather_k(src, rows, wc, Dy, Dx, lane_slices):
+    """Operand for one merged group: lane slices at one block shift,
+    concatenated along lanes (identical sublane offsets -> layout-free)."""
+    parts = [src[Dy:Dy + rows, Dx:Dx + wc, lo:hi] for lo, hi in lane_slices]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+
+
+def _mid_sparse(src, w_ref, b_ref, spec, rows, wc, co, cdtype, dst, acc):
+    """One phase-sparse mid layer: src [rows+1, >=wc+1, 4ci] -> dst
+    [rows, wc, 4co] (written per-phase in lane chunks of co); `acc` is a
+    reused scratch for the in-place group accumulation."""
+    accdt = acc.dtype
+    for p, entries in enumerate(spec):
+        a = acc.at[0:rows, 0:wc, 0:co]
+        for g, (Dy, Dx, lanes, k0, klen) in enumerate(entries):
+            part = _dot3(_gather_k(src, rows, wc, Dy, Dx, lanes),
+                         w_ref[p, k0:k0 + klen, :], accdt)
+            if g == 0:
+                a[...] = part
+            else:
+                a[...] += part
+        dst[:, 0:wc, p * co:(p + 1) * co] = _leaky(
+            a[...] + b_ref[0, p * co:(p + 1) * co].astype(accdt)
+        ).astype(cdtype)
+
+
 # ---------------------------------------------------------------------------
 # pallas_call wrappers
 # ---------------------------------------------------------------------------
@@ -374,47 +375,19 @@ def _run_stack(xcol, kp, tr, tc, ny, nx, spec, interpret=False,
     """uvp=None: emit converted Y in s2d layout (cdtype). uvp given
     ([N, ny*tr, nx*tc, 8] channel-major U/V phases): K2 additionally fuses
     the YUV->BGR + saturate-cast and emits u8, lanes (c*4 + phase)."""
-    spec3, spec4, spec5, spec6 = spec
     n = xcol.shape[0]
     cdtype = xcol.dtype
     accdt = jnp.float32 if acc_f32 else cdtype
     fuse_u8 = uvp is not None
-    hb, wb = tr + 3, tc + 16            # X4 handoff block (one-sided halo 3,
-    #                                     width padded for 8-sublane slices)
+
     def _xblk(di, dj):
-        # K1 assembles its overlapping (tr+6, tc+16) input window from four
-        # non-overlapping im2col blocks: this tile + right/below/diag
-        # neighbors — pipelined BlockSpec fetches, no manual DMA.
+        # The kernel assembles its overlapping (tr+6, tc+16) input window
+        # from four non-overlapping im2col blocks: this tile + right/below/
+        # diag neighbors — pipelined BlockSpec fetches, no manual DMA.
         return pl.BlockSpec((1, tr, tc, 16),
                             lambda nn, i, j, di=di, dj=dj:
                             (nn, i + di, j + dj, 0),
                             memory_space=pltpu.VMEM)
-
-    x4 = pl.pallas_call(
-        functools.partial(_k1_body, tr, tc, cdtype, accdt, spec3, spec4),
-        grid=(n, ny, nx),
-        in_specs=[
-            _xblk(0, 0), _xblk(0, 1), _xblk(1, 0), _xblk(1, 1),
-            _full((16, 128)), _full((1, 128)),
-            _full((4, 128, 128)), _full((1, 128)),
-            _full((2, 384, 128)), _full((1, 256)),
-            _full((2, 768, 128)), _full((1, 256)),
-        ],
-        out_specs=pl.BlockSpec((1, hb, wb, 256),
-                               lambda nn, i, j: (nn, i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, ny * hb, nx * wb, 256), cdtype),
-        scratch_shapes=[
-            pltpu.VMEM((tr + 6, tc + 16, 16), cdtype),
-            pltpu.VMEM((tr + 6, tc + 16, 128), cdtype),
-            pltpu.VMEM((tr + 5, tc + 16, 128), cdtype),
-            pltpu.VMEM((tr + 4, tc + 16, 256), cdtype),
-            pltpu.VMEM((tr + 5, tc + 16, 128), accdt),
-        ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
-        interpret=interpret,
-    )(xcol, xcol, xcol, xcol, kp["l1"], kp["b1"], kp["w2a"], kp["b2a"],
-      kp["w2b"], kp["b2b"], kp["w2c"], kp["b2c"])
 
     uvp_specs = []
     uvp_args = []
@@ -427,32 +400,41 @@ def _run_stack(xcol, kp, tr, tc, ny, nx, spec, interpret=False,
     else:
         out_shape = jax.ShapeDtypeStruct((n, ny * tr, nx * tc, 4), cdtype)
     y = pl.pallas_call(
-        functools.partial(_k2_body, tr, tc, cdtype, accdt, spec5, spec6,
-                          fuse_u8),
+        functools.partial(_stack_body, tr, tc, cdtype, accdt, spec, fuse_u8),
         grid=(n, ny, nx),
         in_specs=[
-            pl.BlockSpec((1, hb, wb, 256), lambda nn, i, j: (nn, i, j, 0),
-                         memory_space=pltpu.VMEM),
-            *uvp_specs,
+            _xblk(0, 0), _xblk(0, 1), _xblk(1, 0), _xblk(1, 1),
+            _full((16, 128)), _full((1, 128)),
+            _full((4, 128, 128)), _full((1, 128)),
+            _full((2, 384, 128)), _full((1, 256)),
+            _full((2, 768, 128)), _full((1, 256)),
             _full((4, 576, 128)), _full((1, 512)),
             _full((4, 1152, 128)), _full((1, 512)),
             _full((512, 64)), _full((256, 4)),
             pl.BlockSpec((1, 1), lambda nn, i, j: (0, 0),
                          memory_space=pltpu.SMEM),
+            *uvp_specs,
         ],
         out_specs=pl.BlockSpec((1, tr, tc, out_shape.shape[-1]),
                                lambda nn, i, j: (nn, i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((tr + 2, tc + 16, 512), cdtype),
-            pltpu.VMEM((tr + 1, tc + 16, 64), jnp.float32),
-            pltpu.VMEM((tr + 2, tc + 16, 128), accdt),
+            pltpu.VMEM((tr + 6, tc + 16, 16), cdtype),    # xin (im2col win)
+            pltpu.VMEM((tr + 6, tc + 16, 128), cdtype),   # x1
+            pltpu.VMEM((tr + 5, tc + 16, 128), cdtype),   # x2
+            pltpu.VMEM((tr + 4, tc + 16, 256), cdtype),   # x3
+            pltpu.VMEM((tr + 3, tc + 16, 256), cdtype),   # x4 (in-VMEM
+            #                                               handoff)
+            pltpu.VMEM((tr + 2, tc + 16, 512), cdtype),   # x5
+            pltpu.VMEM((tr + 1, tc + 16, 64), jnp.float32),  # zt (L7 taps)
+            pltpu.VMEM((tr + 5, tc + 16, 128), accdt),    # shared acc
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
-    )(x4, *uvp_args, kp["w5"], kp["b5"], kp["w6"], kp["b6"], kp["l7_blk"],
-      kp["l7_sel"], kp["b7"])
+    )(xcol, xcol, xcol, xcol, kp["l1"], kp["b1"], kp["w2a"], kp["b2a"],
+      kp["w2b"], kp["b2b"], kp["w2c"], kp["b2c"], kp["w5"], kp["b5"],
+      kp["w6"], kp["b6"], kp["l7_blk"], kp["l7_sel"], kp["b7"], *uvp_args)
     return y
 
 
