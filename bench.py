@@ -43,10 +43,12 @@ def main() -> int:
     ap.add_argument("--psnr", action="store_true",
                     help="also report PSNR vs the f32 highest-precision path")
     ap.add_argument("--workload", default="scale512",
-                    choices=["scale512", "noise256", "ns1080"],
+                    choices=["scale512", "noise256", "ns1080", "mixed64"],
                     help="BASELINE.json config shapes: scale512 = configs[1]"
                          " (headline), noise256 = configs[0], ns1080 = "
-                         "configs[2] (noise2 + 2x on 1080p frames)")
+                         "configs[2] (noise2 + 2x on 1080p frames), mixed64 "
+                         "= configs[3] (64 assorted 720p-4K images, size-"
+                         "grouped batches, adaptive tiles + row banding)")
     ap.add_argument("--stream", type=int, default=1,
                     help="frame-batches per dispatch (lax.scan video-stream "
                          "mode, BASELINE config[4]); 1 = one batch/dispatch "
@@ -78,10 +80,31 @@ def main() -> int:
         # chained noise+scale programs comfortably inside 16 GB HBM
         args.batch = min(args.batch, 4)
         h, w = 1080, 1920
+    elif args.workload == "mixed64":
+        h = w = 0  # per-group shapes below
+        if args.iters == 20:
+            args.iters = 2    # one pass is already ~700 MP of output
     else:
         h = w = args.size
-    yuv = jnp.asarray(
-        rng.random((args.batch, h, w, 3), dtype=np.float32))
+    if args.workload == "mixed64":
+        # BASELINE config[3]: a batch of 64 assorted images 720p-4K on one
+        # chip. Images are grouped by size (one compiled program per
+        # shape); sub-batch caps keep the chained 2x programs inside HBM,
+        # and tall frames row-band automatically (pipeline.BAND_ROWS).
+        mixed_sizes = ((720, 1280, 24, 8), (1080, 1920, 20, 4),
+                       (1440, 2560, 12, 4), (2160, 3840, 8, 2))
+        mixed_batches = []
+        for (mh, mw, count, cap) in mixed_sizes:
+            left = count
+            while left > 0:
+                b = min(cap, left)
+                mixed_batches.append(jnp.asarray(
+                    rng.random((b, mh, mw, 3), dtype=np.float32)))
+                left -= b
+        yuv = mixed_batches[0]
+    else:
+        yuv = jnp.asarray(
+            rng.random((args.batch, h, w, 3), dtype=np.float32))
 
     tile = None
     if args.tile:
@@ -93,7 +116,10 @@ def main() -> int:
         if args.workload == "noise256":
             from waifu2x_tpu.pipeline import noise_batch_fast
             fast_n = FastStack.build(params, scale_input=False, tile=tile)
-            step = lambda x: noise_batch_fast(x, fast_n)  # noqa: E731
+            # one jitted program per batch: at ~7 ms of compute per batch
+            # this workload is otherwise dominated by per-op dispatch
+            # latency through the TPU relay
+            step = jax.jit(lambda x: noise_batch_fast(x, fast_n))
         elif args.workload == "ns1080":
             from waifu2x_tpu.pipeline import noise_batch_fast
             fast_n = FastStack.build(params, scale_input=False, tile=tile)
@@ -120,7 +146,13 @@ def main() -> int:
         return int(np.asarray(jnp.max(arr)))
 
     stream = max(1, args.stream)
-    if stream > 1:
+    if args.workload == "mixed64":
+        def launch():
+            out = None
+            for x in mixed_batches:
+                out = step(x)
+            return out
+    elif stream > 1:
         # video-stream mode: a scan over frame batches compiles the steady
         # state into one program — one dispatch per `stream` batches, no
         # host round-trip between batches (BASELINE config[4] shape).
@@ -151,7 +183,13 @@ def main() -> int:
     dt = min(times)
 
     up = 1 if args.workload == "noise256" else 2
-    out_mp = stream * args.batch * (up * h) * (up * w) / 1e6
+    if args.workload == "mixed64":
+        out_mp = sum(4 * x.shape[0] * x.shape[1] * x.shape[2]
+                     for x in mixed_batches) / 1e6
+        shape_str = "64 images 720p-4K"
+    else:
+        out_mp = stream * args.batch * (up * h) * (up * w) / 1e6
+        shape_str = f"{h}x{w} frames"
     mp_per_s = out_mp * iters / dt
 
     extra = {}
@@ -174,7 +212,7 @@ def main() -> int:
     result = {
         "metric": f"megapixels/sec/chip, workload={args.workload} "
                   f"(stream={stream}x batch={args.batch}, "
-                  f"{h}x{w} frames, impl={args.impl}, "
+                  f"{shape_str}, impl={args.impl}, "
                   f"device={jax.devices()[0].device_kind})",
         "value": round(mp_per_s, 2),
         "unit": "MP/s",

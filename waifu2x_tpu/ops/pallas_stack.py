@@ -23,7 +23,7 @@ ONE kernel fuses all 7 layers so activations never leave VMEM:
 (The stack originally ran as two kernels handing X4 off through HBM;
 measurement showed a computed value stored into a pipelined HBM out block
 costs ~1.5 ms/4 frames of serialized tail VPU time that a scratch store
-does not — scratch/l4_shift_probe.py — and the handoff round-trip was
+does not — tools/l4_shift_probe.py — and the handoff round-trip was
 1.26 GB per 16-frame batch. Single-kernel is bit-identical and faster.)
 
 Tiling: 2-D spatial tiles on the s2d (= low-res) grid, batch in the grid.
@@ -213,7 +213,7 @@ def _stack_body(tr, tc, cdtype, accdt, spec, fuse_u8, xa, xb, xc, xd,
     fuse_u8). Fusing K1+K2 keeps the X4 handoff in a VMEM scratch: storing
     a computed value into a pipelined HBM out block costs ~1.5 ms per 4
     frames of serialized VPU time at the body's tail (measured,
-    scratch/l4_shift_probe.py) and the round-trip was 1.26 GB per 16-frame
+    tools/l4_shift_probe.py) and the round-trip was 1.26 GB per 16-frame
     batch; scratch stores run at model speed."""
     if fuse_u8:
         uvp_ref, out_ref, xin, x1, x2, x3, x4, x5, zt, acc = rest
