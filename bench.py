@@ -43,12 +43,16 @@ def main() -> int:
     ap.add_argument("--psnr", action="store_true",
                     help="also report PSNR vs the f32 highest-precision path")
     ap.add_argument("--workload", default="scale512",
-                    choices=["scale512", "noise256", "ns1080", "mixed64"],
+                    choices=["scale512", "noise256", "ns1080", "mixed64",
+                             "stream4k"],
                     help="BASELINE.json config shapes: scale512 = configs[1]"
                          " (headline), noise256 = configs[0], ns1080 = "
                          "configs[2] (noise2 + 2x on 1080p frames), mixed64 "
                          "= configs[3] (64 assorted 720p-4K images, size-"
-                         "grouped batches, adaptive tiles + row banding)")
+                         "grouped batches, adaptive tiles + row banding), "
+                         "stream4k = configs[4]'s single-chip shape "
+                         "(sustained 4K video-frame 2x stream; the N-host "
+                         "sharded variant runs via parallel/multihost.py)")
     ap.add_argument("--stream", type=int, default=1,
                     help="frame-batches per dispatch (lax.scan video-stream "
                          "mode, BASELINE config[4]); 1 = one batch/dispatch "
@@ -76,10 +80,17 @@ def main() -> int:
     if args.workload == "noise256":
         args.size, h, w = 256, 256, 256
     elif args.workload == "ns1080":
-        # row banding caps the X4 kernel-handoff buffer; batch 4 keeps the
-        # chained noise+scale programs comfortably inside 16 GB HBM
+        # batch 4 with explicit row banding: the unbanded batch-8 noise
+        # program at this size hits a pathological >30-min remote compile;
+        # the banded shapes below compile in minutes and were measured
         args.batch = min(args.batch, 4)
         h, w = 1080, 1920
+    elif args.workload == "stream4k":
+        # sustained 4K 2x stream: row-banded frames, batch 2 per step
+        args.batch = min(args.batch, 2)
+        if args.iters == 20:
+            args.iters = 4    # ~33 MP of output per step
+        h, w = 2160, 3840
     elif args.workload == "mixed64":
         h = w = 0  # per-group shapes below
         if args.iters == 20:
@@ -91,7 +102,7 @@ def main() -> int:
         # chip. Images are grouped by size (one compiled program per
         # shape); sub-batch caps keep the chained 2x programs inside HBM,
         # and tall frames row-band automatically (pipeline.BAND_ROWS).
-        mixed_sizes = ((720, 1280, 24, 8), (1080, 1920, 20, 4),
+        mixed_sizes = ((720, 1280, 24, 8), (1080, 1920, 20, 8),
                        (1440, 2560, 12, 4), (2160, 3840, 8, 2))
         mixed_batches = []
         for (mh, mw, count, cap) in mixed_sizes:
@@ -124,7 +135,8 @@ def main() -> int:
             from waifu2x_tpu.pipeline import noise_batch_fast
             fast_n = FastStack.build(params, scale_input=False, tile=tile)
             step = lambda x: scale2x_batch_u8_fused(  # noqa: E731
-                noise_batch_fast(x, fast_n), fast)
+                noise_batch_fast(x, fast_n, band_rows=1024), fast,
+                band_rows=512)
         else:
             step = lambda x: scale2x_batch_u8_fused(x, fast)  # noqa: E731
     else:

@@ -54,7 +54,8 @@ DEF_TILE = (64, 128)   # s2d-grid tile (rows, cols); rows are exact (no
 #                        alignment), cols pay a +8 compute pad that amortises
 #                        with width — (64, 128) measured fastest of the
 #                        shapes that compile within the 128 MB VMEM
-VMEM_LIMIT = 100 * 1024 * 1024
+VMEM_LIMIT = 110 * 1024 * 1024   # chip has 128 MB; the fused-u8 stack with
+#                                  quadrant-direct L1 needs ~101.3 MB scoped
 
 
 # ---------------------------------------------------------------------------
@@ -216,9 +217,14 @@ def _stack_body(tr, tc, cdtype, accdt, spec, fuse_u8, xa, xb, xc, xd,
     tools/l4_shift_probe.py) and the round-trip was 1.26 GB per 16-frame
     batch; scratch stores run at model speed."""
     if fuse_u8:
-        uvp_ref, out_ref, xin, x1, x2, x3, x4, x5, zt, acc = rest
+        uvp_ref, out_ref, *scr = rest
     else:
-        out_ref, xin, x1, x2, x3, x4, x5, zt, acc = rest
+        out_ref, *scr = rest
+    if len(scr) == 8:
+        xin, x1, x2, x3, x4, x5, zt, acc = scr
+    else:                       # l1_direct: no xin assembly scratch
+        xin = None
+        x1, x2, x3, x4, x5, zt, acc = scr
     spec3, spec4, spec5, spec6 = spec
     # Mosaic alignment: the sublane (second-minor) dim of every VMEM slice
     # and store must be a multiple of 8, so all buffers carry tau+16 columns
@@ -234,13 +240,30 @@ def _stack_body(tr, tc, cdtype, accdt, spec, fuse_u8, xa, xb, xc, xd,
     # array keeps its compact 16-lane form (a manual HBM DMA would force
     # 128-lane alignment = 8x the traffic).
     wc = tc + 8
-    xin[0:tr, 0:tc, :] = xa[0]
-    xin[0:tr, tc:tc + 16, :] = xb[0][:, 0:16, :]
-    xin[tr:tr + 6, 0:tc, :] = xc[0][0:6, :, :]
-    xin[tr:tr + 6, tc:tc + 16, :] = xd[0][0:6, 0:16, :]
-    # L1: one matmul over the 16-lane im2col
-    x1[:] = _leaky(_dot3(xin[:], l1_ref[:], accdt)
-                   + b1_ref[0].astype(accdt)).astype(cdtype)
+    if xin is None:
+        # L1 applied DIRECTLY to the four window quadrants: the 16-lane
+        # im2col blocks never get copied into a contiguous scratch.
+        # 16-lane vregs are 1/8 utilized, so the assembly copies cost ~8x
+        # their nominal bytes in vreg ops; routing each quadrant through
+        # its own L1 matmul writes only the 128-lane x1 (measured: -1.5
+        # ms / 4 frames at (64,128), tools/noxin_probe.py).
+        b1v = b1_ref[0].astype(accdt)
+
+        def l1q(q):
+            return _leaky(_dot3(q, l1_ref[:], accdt) + b1v).astype(cdtype)
+
+        x1[0:tr, 0:tc, :] = l1q(xa[0])
+        x1[0:tr, tc:tc + 16, :] = l1q(xb[0][:, 0:16, :])
+        x1[tr:tr + 6, 0:tc, :] = l1q(xc[0][0:6, :, :])
+        x1[tr:tr + 6, tc:tc + 16, :] = l1q(xd[0][0:6, 0:16, :])
+    else:
+        xin[0:tr, 0:tc, :] = xa[0]
+        xin[0:tr, tc:tc + 16, :] = xb[0][:, 0:16, :]
+        xin[tr:tr + 6, 0:tc, :] = xc[0][0:6, :, :]
+        xin[tr:tr + 6, tc:tc + 16, :] = xd[0][0:6, 0:16, :]
+        # L1: one matmul over the 16-lane im2col
+        x1[:] = _leaky(_dot3(xin[:], l1_ref[:], accdt)
+                       + b1_ref[0].astype(accdt)).astype(cdtype)
     # L2-L4: 4-tap shift-matmuls with dense packed W2. Tap partials
     # accumulate IN PLACE into one f32 scratch — accumulating by value made
     # Mosaic hold every partial product alive at once (>100 MB of scoped
@@ -369,12 +392,15 @@ def _full(shape, dtype=None):
 @functools.partial(
     jax.jit,
     static_argnames=("tr", "tc", "ny", "nx", "spec", "interpret",
-                     "acc_f32"))
+                     "acc_f32", "l1_direct"))
 def _run_stack(xcol, kp, tr, tc, ny, nx, spec, interpret=False,
-               acc_f32=True, uvp=None):
+               acc_f32=True, uvp=None, l1_direct=True):
     """uvp=None: emit converted Y in s2d layout (cdtype). uvp given
     ([N, ny*tr, nx*tc, 8] channel-major U/V phases): K2 additionally fuses
     the YUV->BGR + saturate-cast and emits u8, lanes (c*4 + phase)."""
+    if xcol.shape[-1] != 16:
+        raise ValueError(f"xcol must have exactly 16 lanes (the kernel's "
+                         f"input block depth), got {xcol.shape}")
     n = xcol.shape[0]
     cdtype = xcol.dtype
     accdt = jnp.float32 if acc_f32 else cdtype
@@ -419,8 +445,9 @@ def _run_stack(xcol, kp, tr, tc, ny, nx, spec, interpret=False,
                                lambda nn, i, j: (nn, i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=out_shape,
-        scratch_shapes=[
+        scratch_shapes=([] if l1_direct else [
             pltpu.VMEM((tr + 6, tc + 16, 16), cdtype),    # xin (im2col win)
+        ]) + [
             pltpu.VMEM((tr + 6, tc + 16, 128), cdtype),   # x1
             pltpu.VMEM((tr + 5, tc + 16, 128), cdtype),   # x2
             pltpu.VMEM((tr + 4, tc + 16, 256), cdtype),   # x3
@@ -481,6 +508,14 @@ def _xcol_scale(ylow, tr, tc):
     hp, wp = ny * tr, nx * tc
     yp = jnp.pad(ylow, ((0, 0), (4, 4 + hp - hl), (4, 14 + wp - wl)),
                  mode="edge")
+    # taps in (dy, dx) row-major order (pack_l1_scale). NOTE on the build
+    # form: this 9-slice stack is the fastest variant measured (1.4 ms vs
+    # 5.4 for conv_general_dilated_patches and a catastrophic in-context
+    # slowdown for .at[].set lane updates), but XLA's layout assignment
+    # has picked a lanes-on-the-taps-dim layout for the tap temporaries at
+    # one specific shape (batch 4, 1080p: 128x padding per tap -> HBM
+    # OOM). Callers that hit such a shape should adjust batch/banding
+    # (bench.py mixed64 runs 1080p at batch 8, which compiles densely).
     taps = [yp[:, dy:hp + 6 + dy, dx:wp + 16 + dx]
             for dy in range(3) for dx in range(3)]
     x = jnp.stack(taps, axis=-1)
@@ -504,6 +539,8 @@ def _xcol_noise(y, tr, tc):
     cols = [x0[:, Dy:hp + 6 + Dy, Dx:wp + 16 + Dx, :]
             for Dy in (0, 1) for Dx in (0, 1)]
     x = jnp.concatenate(cols, axis=-1)              # [N, hp+6, wp+16, 16]
+    # lane dim is already 16 (4 block shifts x 4 s2d lanes) — no lane pad;
+    # the kernel's (.., 16) input blocks must equal the array's lane dim
     return jnp.pad(x, ((0, 0), (0, (ny + 1) * tr - (hp + 6)),
                        (0, (nx + 1) * tc - (wp + 16)), (0, 0)))
 

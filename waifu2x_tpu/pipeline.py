@@ -207,19 +207,27 @@ def _uv_phases_cmajor(yuv: jax.Array, tile) -> jax.Array:
     return phases.reshape(n, hp, wp, 8)
 
 
-@partial(jax.jit,
-         static_argnames=("tile", "spec", "interpret", "dtype"))
 def _fused_step(yuv, kp, tile, spec, interpret, dtype):
-    # one jit for the WHOLE step: the U/V polyphase prep, the im2col build
-    # and both Pallas kernels trace into a single program — each extra
-    # dispatch costs ~3 ms through the remote-TPU relay
+    # Deliberately NOT one outer jit: the U/V prep, the im2col build and
+    # the kernel call run as separate programs. Collapsing them into one
+    # program measured neutral for speed (the async dispatch queue hides
+    # the extra ~3 ms relay dispatches), and XLA's layout assignment on
+    # the combined program picks lanes-on-the-taps-dim layouts for the
+    # im2col temporaries at several large-frame shapes (128x padding
+    # expansion -> HBM OOM at e.g. batch-4 1080p); the standalone
+    # _xcol_scale program compiles densely at those same shapes.
     ps = _fast_import()
     uvp = _uv_phases_cmajor(yuv, tile)
     return ps.stack_scale_fused_u8(yuv[..., 0].astype(dtype), uvp,
                                    kp, spec, tile, interpret=interpret)
 
 
-BAND_ROWS = 512      # low-res rows per banded dispatch (large frames)
+BAND_ROWS = 1152     # low-res rows per banded dispatch (large frames).
+#                      Sized so 1080p runs unbanded and 4K in two bands:
+#                      the original 512 bounded the kernels' X4 HBM handoff
+#                      buffer (~2.4 kB/low-res px), which the single fused
+#                      kernel eliminated — what remains in HBM per band is
+#                      the 16-lane im2col + u8 out (~100 B/low-res px).
 _BAND_HALO = 4       # one-sided receptive radius of the whole 2x step
 
 
@@ -231,11 +239,11 @@ def scale2x_batch_u8_fused(yuv: jax.Array, fast: FastStack,
     U/V combine, color transform and u8 cast all run inside K2.
 
     Frames taller than `band_rows` (low-res) are processed in row bands
-    with an 8-row overlap — the kernels' X4 handoff buffer is ~2.4 kB per
-    low-res pixel, so banding keeps 4K/8K frame streams inside HBM. Band
-    outputs are exact (the step's one-sided receptive radius is 4 low-res
-    rows; overlap rows are cropped, true edges keep replicate semantics).
-    All interior bands share one compiled shape."""
+    with an 8-row overlap, bounding the per-dispatch HBM footprint of the
+    im2col/uvp/u8 arrays (~100 B per low-res pixel) for 4K/8K streams.
+    Band outputs are exact (the step's one-sided receptive radius is 4
+    low-res rows; overlap rows are cropped, true edges keep replicate
+    semantics). All interior bands share one compiled shape."""
     ps = _fast_import()
     n, h, w, _ = yuv.shape
     dtype = jnp.dtype(fast.dtype).type
@@ -270,9 +278,9 @@ def scale2x_batch_fast(yuv: jax.Array, fast: FastStack) -> jax.Array:
 def noise_batch_fast(yuv: jax.Array, fast: FastStack,
                      band_rows: int = 2 * BAND_ROWS) -> jax.Array:
     """Fast-path twin of noise_batch: f32 YUV [N,h,w,3] -> same shape with
-    the Y plane denoised through the fused kernels. Tall frames run in row
+    the Y plane denoised through the fused kernel. Tall frames run in row
     bands (full-res rows; 16-row overlap covers the 7-px receptive radius
-    on even s2d boundaries) to bound the kernels' handoff buffer."""
+    on even s2d boundaries) to bound the per-dispatch HBM footprint."""
     n, h, w, _ = yuv.shape
     if h <= band_rows or h % 2:   # odd heights: keep s2d parity, no banding
         y = fast.noise(yuv[..., 0])
