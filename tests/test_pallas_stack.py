@@ -53,3 +53,29 @@ def test_stack_noise_matches_reference(params, kp_noise, rng, h, w, tile):
     got = stack_noise(jnp.asarray(y), arrays, spec, tile=tile, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=0, atol=3e-5)
+
+
+def test_l1_direct_equals_window_assembly(kp, rng):
+    """The quadrant-direct L1 (no xin scratch) must be bit-identical to
+    the original 4-copy window assembly."""
+    from waifu2x_tpu.ops.pallas_stack import _run_stack, _xcol_scale
+
+    ylow = jnp.asarray(rng.random((1, 32, 32), dtype=np.float32))
+    arrays, spec = kp
+    xcol = _xcol_scale(ylow, 16, 16)
+    a = _run_stack(xcol, arrays, 16, 16, 2, 2, spec, interpret=True,
+                   l1_direct=False)
+    b = _run_stack(xcol, arrays, 16, 16, 2, 2, spec, interpret=True,
+                   l1_direct=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_run_stack_rejects_wrong_lane_count(kp):
+    """The kernel consumes 16-lane im2col blocks; any other lane depth
+    breaks Mosaic block mapping on real TPU, so it must fail fast."""
+    from waifu2x_tpu.ops.pallas_stack import _run_stack
+
+    arrays, spec = kp
+    bad = jnp.zeros((1, 32, 32, 23), jnp.float32)
+    with pytest.raises(ValueError, match="16 lanes"):
+        _run_stack(bad, arrays, 16, 16, 1, 1, spec, interpret=True)
