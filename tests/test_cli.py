@@ -138,3 +138,18 @@ def test_cli_multiple_inputs(tmp_path, rng):
     rc = main(["-i", *srcs, "-o", str(tmp_path / "x.png"),
                "--model_dir", model_dir])
     assert rc == 1
+
+
+def test_cli_device_cpu(tmp_path, rng):
+    # --device cpu must convert with no TPU attached (tests already run on
+    # the CPU platform; this pins the flag's plumbing end-to-end)
+    spec = ModelSpec.from_widths([1, 3, 1])
+    model_dir = str(tmp_path / "models")
+    _write_models(model_dir, spec)
+    src = str(tmp_path / "input.png")
+    w2x_io.imwrite_bgr(src, rng.integers(0, 256, (20, 24, 3), dtype=np.uint8))
+    dst = str(tmp_path / "out.png")
+    rc = main(["-i", src, "-o", dst, "--model_dir", model_dir,
+               "--device", "cpu", "-m", "scale"])
+    assert rc == 0
+    assert w2x_io.imread_bgr(dst).shape == (40, 48, 3)

@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "bicubic-resample it alongside")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace to DIR")
+    p.add_argument("--device", default="auto", choices=["auto", "cpu"],
+                   help="force the JAX platform: 'cpu' runs the XLA path "
+                        "on the host (works with no TPU attached); 'auto' "
+                        "uses the default backend (TPU when present)")
     return p
 
 
@@ -85,6 +89,18 @@ def config_from_args(args: argparse.Namespace) -> Config:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
+
+    if args.device == "cpu":
+        # must happen before the first backend touch; env vars alone don't
+        # override a sitecustomize-registered plugin platform
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            log.warning("--device cpu: backend already initialized")
+        if args.pallas:
+            log.warning("--pallas on CPU runs the kernels in interpret "
+                        "mode (slow; intended for debugging)")
 
     from waifu2x_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()

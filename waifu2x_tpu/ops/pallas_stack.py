@@ -54,8 +54,11 @@ DEF_TILE = (64, 128)   # s2d-grid tile (rows, cols); rows are exact (no
 #                        alignment), cols pay a +8 compute pad that amortises
 #                        with width — (64, 128) measured fastest of the
 #                        shapes that compile within the 128 MB VMEM
-VMEM_LIMIT = 110 * 1024 * 1024   # chip has 128 MB; the fused-u8 stack with
-#                                  quadrant-direct L1 needs ~101.3 MB scoped
+import os as _os
+
+VMEM_LIMIT = int(_os.environ.get("W2X_VMEM_LIMIT_MB", "110")) * 1024 * 1024
+# chip has 128 MB; the fused-u8 stack with quadrant-direct L1 needs
+# ~101.3 MB scoped at the default tile. Env knob exists for tile probes.
 
 
 # ---------------------------------------------------------------------------
