@@ -60,6 +60,12 @@ VMEM_LIMIT = int(_os.environ.get("W2X_VMEM_LIMIT_MB", "110")) * 1024 * 1024
 # chip has 128 MB; the fused-u8 stack with quadrant-direct L1 needs
 # ~101.3 MB scoped at the default tile. Env knob exists for tile probes.
 
+ALIAS_SCRATCH = _os.environ.get("W2X_ALIAS_SCRATCH", "") == "1"
+# opt-in: activations time-share two scratch buffers (x1/x3/x5 in A,
+# x2/x4 in B; ~9.5 MB less VMEM at the default tile — headroom for bigger
+# tiles). Bit-exact in interpret mode; process-level switch, set the env
+# var before the first kernel trace. Default off until TPU-validated.
+
 
 # ---------------------------------------------------------------------------
 # packing (host, numpy) — kernel-shaped weight tensors
@@ -225,9 +231,20 @@ def _stack_body(tr, tc, cdtype, accdt, spec, fuse_u8, xa, xb, xc, xd,
         out_ref, *scr = rest
     if len(scr) == 8:
         xin, x1, x2, x3, x4, x5, zt, acc = scr
-    else:                       # l1_direct: no xin assembly scratch
+    elif len(scr) == 7:         # l1_direct: no xin assembly scratch
         xin = None
         x1, x2, x3, x4, x5, zt, acc = scr
+    else:                       # l1_direct + aliased scratch: activations
+        # time-share two buffers (lifetimes alternate A/B down the stack:
+        # each layer reads one buffer and writes the other, so x1/x3/x5
+        # can overlay in A and x2/x4 in B — saves ~40% activation VMEM)
+        xin = None
+        bufa, bufb, zt, acc = scr
+        x1 = bufa.at[:, :, 0:128]
+        x2 = bufb.at[0:tr + 5, :, 0:128]
+        x3 = bufa.at[0:tr + 4, :, 0:256]
+        x4 = bufb.at[0:tr + 3, :, 0:256]
+        x5 = bufa.at[0:tr + 2, :, 0:512]
     spec3, spec4, spec5, spec6 = spec
     # Mosaic alignment: the sublane (second-minor) dim of every VMEM slice
     # and store must be a multiple of 8, so all buffers carry tau+16 columns
@@ -448,15 +465,22 @@ def _run_stack(xcol, kp, tr, tc, ny, nx, spec, interpret=False,
                                lambda nn, i, j: (nn, i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=out_shape,
-        scratch_shapes=([] if l1_direct else [
-            pltpu.VMEM((tr + 6, tc + 16, 16), cdtype),    # xin (im2col win)
-        ]) + [
-            pltpu.VMEM((tr + 6, tc + 16, 128), cdtype),   # x1
-            pltpu.VMEM((tr + 5, tc + 16, 128), cdtype),   # x2
-            pltpu.VMEM((tr + 4, tc + 16, 256), cdtype),   # x3
-            pltpu.VMEM((tr + 3, tc + 16, 256), cdtype),   # x4 (in-VMEM
-            #                                               handoff)
-            pltpu.VMEM((tr + 2, tc + 16, 512), cdtype),   # x5
+        scratch_shapes=(
+            [
+                pltpu.VMEM((tr + 6, tc + 16, 512), cdtype),  # A: x1/x3/x5
+                pltpu.VMEM((tr + 5, tc + 16, 256), cdtype),  # B: x2/x4
+            ] if (l1_direct and ALIAS_SCRATCH) else
+            ([] if l1_direct else [
+                pltpu.VMEM((tr + 6, tc + 16, 16), cdtype),  # xin (im2col win)
+            ]) + [
+                pltpu.VMEM((tr + 6, tc + 16, 128), cdtype),   # x1
+                pltpu.VMEM((tr + 5, tc + 16, 128), cdtype),   # x2
+                pltpu.VMEM((tr + 4, tc + 16, 256), cdtype),   # x3
+                pltpu.VMEM((tr + 3, tc + 16, 256), cdtype),   # x4 (in-VMEM
+                #                                               handoff)
+                pltpu.VMEM((tr + 2, tc + 16, 512), cdtype),   # x5
+            ]
+        ) + [
             pltpu.VMEM((tr + 1, tc + 16, 64), jnp.float32),  # zt (L7 taps)
             pltpu.VMEM((tr + 5, tc + 16, 128), accdt),    # shared acc
         ],
