@@ -45,3 +45,35 @@ def test_stream_paths(rng, tmp_path):
     for i, op in enumerate(outs):
         out = w2x_io.imread_bgr(op)
         assert out.shape == (32, 32, 3)
+
+
+def test_stream_checkpoint_resume(rng, tmp_path):
+    from waifu2x_tpu import io as w2x_io
+    fast = _fast()
+    paths, outs = [], []
+    for i in range(5):
+        img = rng.integers(0, 256, (16, 16, 3), np.uint8)
+        p = str(tmp_path / f"in{i}.png")
+        w2x_io.imwrite_bgr(p, img)
+        paths.append(p)
+        outs.append(str(tmp_path / f"out{i}.png"))
+    ckpt = str(tmp_path / "cursor.json")
+
+    # first run converts 0..4; interrupt by pre-setting the cursor instead
+    sc = StreamConverter(fast, batch=2)
+    sc.process_paths(paths[:3], outs[:3], checkpoint=ckpt)
+    import json
+    assert json.load(open(ckpt))["done"] == 3
+
+    # resume over the FULL list: frames 0-2 must be skipped (their outputs
+    # untouched), 3-4 produced
+    import os
+    mtimes = [os.path.getmtime(o) for o in outs[:3]]
+    sc.process_paths(paths, outs, checkpoint=ckpt)
+    assert [os.path.getmtime(o) for o in outs[:3]] == mtimes
+    for o in outs:
+        assert w2x_io.imread_bgr(o).shape == (32, 32, 3)
+    assert json.load(open(ckpt))["done"] == 5
+
+    # fully-done cursor: no work, no error
+    sc.process_paths(paths, outs, checkpoint=ckpt)

@@ -7,14 +7,16 @@ eat the whole session). Each shape that compiles is timed and checked
 bit-identical to the (64, 128) output. Runs SEQUENTIALLY in one process so
 the persistent XLA cache keeps every success warm for later bench runs.
 
-Usage: python tools/tile_sweep.py [shapes like 72x128 80x128 ...]
-       (default ladder below; env W2X_VMEM_LIMIT_MB raises the VMEM cap)
+Usage: python tools/tile_sweep.py [shapes like 72x128 80x128+a+v120 ...]
+       suffix +a  -> W2X_ALIAS_SCRATCH=1 (activation scratch overlay)
+       suffix +vN -> W2X_VMEM_LIMIT_MB=N
 """
+import os
 import subprocess
 import sys
 import time
 
-DEFAULT = ["72x128", "80x128", "88x128", "64x160", "72x160", "96x128"]
+DEFAULT = ["72x128", "80x128+a", "88x128+a+v120", "64x160", "96x128+a+v120"]
 
 CHILD = r"""
 import sys, time
@@ -57,13 +59,21 @@ def main():
     shapes = sys.argv[1:] or DEFAULT
     budget_s = 1500  # per shape: compile through the relay runs ~4-10 min
     for s in shapes:
-        tr, tc = map(int, s.split("x"))
-        print(f"=== tile ({tr},{tc}) (budget {budget_s}s) ===", flush=True)
+        parts = s.split("+")
+        tr, tc = map(int, parts[0].split("x"))
+        env = dict(os.environ)
+        for p in parts[1:]:
+            if p == "a":
+                env["W2X_ALIAS_SCRATCH"] = "1"
+            elif p.startswith("v"):
+                env["W2X_VMEM_LIMIT_MB"] = p[1:]
+        print(f"=== tile ({tr},{tc}) opts={parts[1:]} "
+              f"(budget {budget_s}s) ===", flush=True)
         t0 = time.time()
         try:
             r = subprocess.run(
                 [sys.executable, "-c", CHILD, str(tr), str(tc), "4", "512"],
-                capture_output=True, text=True, timeout=budget_s,
+                capture_output=True, text=True, timeout=budget_s, env=env,
             )
             out, rc = (r.stdout or "") + (r.stderr or ""), r.returncode
         except subprocess.TimeoutExpired as e:

@@ -81,9 +81,45 @@ class StreamConverter:
         return scale2x_batch_u8_fused(yuv, self.fast), n
 
     def process_paths(self, paths: Sequence[str], out_paths: Sequence[str],
-                      jobs: int = 4) -> None:
+                      jobs: int = 4, checkpoint: str | None = None) -> None:
         """Convert image files (equal dimensions): threaded native decode,
-        batched device conversion, PNG encode."""
-        imgs = w2x_io.imread_batch_bgr(list(paths), jobs=jobs)
-        for out_path, result in zip(out_paths, self.process_frames(imgs)):
-            w2x_io.imwrite_bgr(out_path, result)
+        batched device conversion, PNG encode.
+
+        checkpoint: optional cursor-file path. The stream is stateless and
+        strictly ordered, so resumability is just a frame index: after each
+        encoded output the cursor advances (atomic rename), and a restarted
+        run skips the frames already on disk. (SURVEY §5: the reference has
+        no checkpointing; a frame cursor is this pipeline's entire state.)
+        """
+        start = 0
+        if checkpoint is not None:
+            start = _read_cursor(checkpoint)
+            if start >= len(paths):
+                return
+        imgs = w2x_io.imread_batch_bgr(list(paths[start:]), jobs=jobs)
+        for idx, result in zip(range(start, len(paths)),
+                               self.process_frames(imgs)):
+            w2x_io.imwrite_bgr(out_paths[idx], result)
+            if checkpoint is not None:
+                _write_cursor(checkpoint, idx + 1)
+
+
+def _read_cursor(path: str) -> int:
+    import json
+    import os
+    if not os.path.exists(path):
+        return 0
+    try:
+        with open(path) as f:
+            return int(json.load(f)["done"])
+    except (ValueError, KeyError, OSError):
+        return 0
+
+
+def _write_cursor(path: str, done: int) -> None:
+    import json
+    import os
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"done": done}, f)
+    os.replace(tmp, path)  # atomic: a crash never leaves a torn cursor
