@@ -9,6 +9,7 @@ framework functional either way — tests/test_cli.py covers those).
 import numpy as np
 import pytest
 
+from waifu2x_tpu import io as w2x_io
 from waifu2x_tpu import native
 from waifu2x_tpu.ops.s2d import d2s_host
 
@@ -83,3 +84,20 @@ def test_flatten_white(rng):
     ref = ((bgra[..., :3].astype(np.int32) * a + 255 * (255 - a) + 127)
            // 255).astype(np.uint8)
     assert np.array_equal(got, ref)
+
+
+def test_imread_odd_formats(tmp_path, rng):
+    # IMREAD_COLOR semantics (main.cpp:74): 16-bit, grayscale and palette
+    # inputs all decode to 8-bit 3-channel BGR
+    import cv2
+    from PIL import Image
+    p16 = str(tmp_path / "t16.png")
+    cv2.imwrite(p16, rng.integers(0, 65535, (20, 24, 3), np.uint16))
+    pg = str(tmp_path / "tg.png")
+    cv2.imwrite(pg, rng.integers(0, 255, (20, 24), np.uint8))
+    pp = str(tmp_path / "tp.gif")
+    Image.fromarray(rng.integers(0, 255, (20, 24, 3), np.uint8)) \
+        .convert("P").save(pp)
+    for p in (p16, pg, pp):
+        a = w2x_io.imread_bgr(p)
+        assert a.shape == (20, 24, 3) and a.dtype == np.uint8
