@@ -1,4 +1,4 @@
-"""K1 forensics: time K1 truncated after each layer (TPU-only tool).
+"""K1 forensics: time K1 truncated after each layer (TPU-only tool)."""
 import sys, time, functools
 sys.path.insert(0, "/root/repo")
 import numpy as np, jax, jax.numpy as jnp
