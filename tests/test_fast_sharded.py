@@ -42,3 +42,29 @@ def test_sharded_pad_and_crop(fast, rng):
     mesh = make_mesh((2, 4))
     got = np.asarray(convert_batch_on_mesh(yuv, fast, mesh))
     np.testing.assert_array_equal(got, ref)
+
+
+@pytest.fixture(scope="module")
+def fast_noise():
+    params = init_params(jax.random.PRNGKey(6), WAIFU2X_7LAYER)
+    return FastStack.build(params, scale_input=False, tile=(16, 16),
+                           interpret=True, dtype=jnp.float32)
+
+
+@pytest.mark.parametrize("shape", [(1, 8), (2, 4)])
+def test_sharded_noise_matches_single_device(fast_noise, rng, shape):
+    from waifu2x_tpu.parallel.fast_sharded import noise_plane_sharded
+    y = jnp.asarray(rng.random((2, 20, 80, 3), dtype=np.float32))[..., 0]
+    ref = np.asarray(fast_noise.noise(y))
+    mesh = make_mesh(shape)
+    got = np.asarray(noise_plane_sharded(y, fast_noise, mesh))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_sharded_noise_odd_width(fast_noise, rng):
+    from waifu2x_tpu.parallel.fast_sharded import noise_batch_on_mesh
+    y = jnp.asarray(rng.random((2, 18, 69), dtype=np.float32))
+    ref = np.asarray(fast_noise.noise(y))
+    mesh = make_mesh((2, 4))
+    got = np.asarray(noise_batch_on_mesh(y, fast_noise, mesh))
+    np.testing.assert_array_equal(got, ref)

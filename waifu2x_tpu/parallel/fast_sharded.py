@@ -38,6 +38,10 @@ def _halo_cols(x: jax.Array, k: int, axis_name: str) -> jax.Array:
     """Attach k halo columns (axis 2 of [n, h, w, c]) from mesh neighbors
     along `axis_name`; replicate own edge columns at true image borders."""
     n = lax.axis_size(axis_name)
+    if n > 1 and x.shape[2] < k:
+        raise ValueError(
+            f"width shard ({x.shape[2]} cols) narrower than the {k}-col "
+            f"halo — use fewer 'sp' devices for this image width")
     left_edge = jnp.repeat(x[:, :, :1], k, 2)
     right_edge = jnp.repeat(x[:, :, -1:], k, 2)
     if n == 1:
@@ -89,6 +93,48 @@ def scale2x_u8_s2d_sharded(yuv: jax.Array, fast: FastStack,
         check_vma=False,  # pallas_call outputs carry no vma annotation
     )
     return fn(yuv)
+
+
+NOISE_HALO = 8   # full-res columns: stack receptive radius is 7; 8 keeps
+#                  every shard's extended width even (s2d needs even dims)
+
+
+def noise_plane_sharded(y: jax.Array, fast: FastStack,
+                        mesh: Mesh) -> jax.Array:
+    """Sharded twin of FastStack.noise: f32 Y plane [N, h, w] -> same shape,
+    sharded P("dp", None, "sp"). The noise path runs at FULL resolution, so
+    the halo is 8 full-res columns (vs 4 low-res for the 2x step). Requires
+    N % dp == 0 and each width shard even (use noise_batch_on_mesh for
+    arbitrary widths). The s2d phase decomposition inside stack_noise is
+    offset-independent (it computes plain conv-stack semantics), so interior
+    pixels match the monolithic pass exactly."""
+
+    def local(y_loc):
+        ext = _halo_cols(y_loc, NOISE_HALO, "sp")       # [nl, h, wloc+16]
+        out = fast.noise(ext)
+        return out[:, :, NOISE_HALO:-NOISE_HALO].astype(y_loc.dtype)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=P("dp", None, "sp"),
+        out_specs=P("dp", None, "sp"),
+        check_vma=False,
+    )
+    return fn(y)
+
+
+def noise_batch_on_mesh(y: jax.Array, fast: FastStack,
+                        mesh: Mesh) -> jax.Array:
+    """Convenience wrapper: edge-pad width so every "sp" shard is even,
+    shard, denoise, crop back."""
+    sp = mesh.devices.shape[1]
+    w = y.shape[2]
+    wp = -(-w // (2 * sp)) * (2 * sp)
+    if wp != w:
+        y = jnp.pad(y, ((0, 0), (0, 0), (0, wp - w)), mode="edge")
+    sharding = NamedSharding(mesh, P("dp", None, "sp"))
+    y = jax.device_put(y, sharding)
+    return noise_plane_sharded(y, fast, mesh)[:, :, :w]
 
 
 def pad_width_to_mesh(yuv: jax.Array, mesh: Mesh) -> tuple[jax.Array, int]:
