@@ -60,6 +60,30 @@ def main() -> int:
                          "pipeline)")
     args = ap.parse_args()
 
+    # Fail fast (with a diagnosis on stderr) if the TPU relay is down:
+    # backend init otherwise blocks indefinitely and the bench appears hung.
+    # Legitimate first contact through the tunnel can take ~2 min.
+    import multiprocessing as _mp
+
+    def _touch_backend(q):
+        try:
+            import jax as _jax
+            q.put(str(_jax.devices()))
+        except Exception as e:  # pragma: no cover
+            q.put(f"ERROR: {e}")
+
+    _q = _mp.Queue()
+    _p = _mp.Process(target=_touch_backend, args=(_q,), daemon=True)
+    _p.start()
+    _p.join(240)
+    _probe = None if (_p.is_alive() or not _q.qsize()) else _q.get()
+    if _probe is None or _probe.startswith("ERROR"):
+        _p.terminate()
+        reason = _probe or "no response within 240 s"
+        print(f"bench: TPU backend unavailable ({reason}) — aborting",
+              file=sys.stderr)
+        return 2
+
     import jax
     import jax.numpy as jnp
     import numpy as np
