@@ -27,6 +27,9 @@ def build_parser() -> argparse.ArgumentParser:
         prog="waifu2x-tpu",
         description="waifu2x on TPU (JAX/XLA/Pallas reimplementation)",
     )
+    # TCLAP auto-provides --version; the reference registers "1.0.0"
+    # (main.cpp:26)
+    p.add_argument("--version", action="version", version="1.0.0")
     # --- reference flags, identical semantics (main.cpp:26-61) ---
     p.add_argument("-i", "--input_file", required=True, nargs="+",
                    help="path to input image file(s); multiple files are "
