@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -72,17 +73,23 @@ def main() -> int:
         except Exception as e:  # pragma: no cover
             q.put(f"ERROR: {e}")
 
-    _q = _mp.Queue()
-    _p = _mp.Process(target=_touch_backend, args=(_q,), daemon=True)
-    _p.start()
-    _p.join(240)
-    _probe = None if (_p.is_alive() or not _q.qsize()) else _q.get()
-    if _probe is None or _probe.startswith("ERROR"):
+    attempts = int(os.environ.get("W2X_BENCH_INIT_RETRIES", "7"))
+    for attempt in range(attempts):
+        _q = _mp.Queue()
+        _p = _mp.Process(target=_touch_backend, args=(_q,), daemon=True)
+        _p.start()
+        _p.join(240)
+        _probe = None if (_p.is_alive() or not _q.qsize()) else _q.get()
+        if _probe is not None and not _probe.startswith("ERROR"):
+            break
         _p.terminate()
         reason = _probe or "no response within 240 s"
-        print(f"bench: TPU backend unavailable ({reason}) — aborting",
-              file=sys.stderr)
-        return 2
+        print(f"bench: TPU backend unavailable ({reason}) — "
+              f"attempt {attempt + 1}/{attempts}", file=sys.stderr)
+        if attempt + 1 == attempts:
+            print("bench: giving up", file=sys.stderr)
+            return 2
+        time.sleep(60)
 
     import jax
     import jax.numpy as jnp
