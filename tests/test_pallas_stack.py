@@ -70,6 +70,24 @@ def test_l1_direct_equals_window_assembly(kp, rng):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_l7_fold_equals_sel_path(kp, rng):
+    """The folded L7 (pack_l7_fold: tap partials on lanes s*4+q, phase
+    accumulation in the zt scratch, 4-lane shift-adds) must match the
+    blk+sel decomposition — same f32 products, different summation order,
+    so allclose rather than bit-equal."""
+    from waifu2x_tpu.ops.pallas_stack import _run_stack, _xcol_scale
+
+    ylow = jnp.asarray(rng.random((1, 32, 32), dtype=np.float32))
+    arrays, spec = kp
+    xcol = _xcol_scale(ylow, 16, 16)
+    a = _run_stack(xcol, arrays, 16, 16, 2, 2, spec, interpret=True,
+                   l7_fold=False)
+    b = _run_stack(xcol, arrays, 16, 16, 2, 2, spec, interpret=True,
+                   l7_fold=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=0, atol=1e-5)
+
+
 def test_run_stack_rejects_wrong_lane_count(kp):
     """The kernel consumes 16-lane im2col blocks; any other lane depth
     breaks Mosaic block mapping on real TPU, so it must fail fast."""

@@ -66,6 +66,14 @@ ALIAS_SCRATCH = _os.environ.get("W2X_ALIAS_SCRATCH", "") == "1"
 # tiles). Bit-exact in interpret mode; process-level switch, set the env
 # var before the first kernel trace. Default off until TPU-validated.
 
+L7_FOLD = _os.environ.get("W2X_L7_FOLD", "") == "1"
+# opt-in: fold the L7 selection into the tap matmul (s2d.pack_l7_fold) —
+# zt carries lanes s*4+q accumulated over phases and the four f32 sel
+# MXU passes become four 4-lane VPU shift-adds. Same partial products,
+# different f32 summation order (not bit-identical to the sel path;
+# equal within 1e-5 — tests/test_pallas_stack.py). Default off until
+# TPU-measured.
+
 
 # ---------------------------------------------------------------------------
 # packing (host, numpy) — kernel-shaped weight tensors
@@ -177,6 +185,7 @@ def pack_for_kernels(params, scale_input: bool) -> tuple[dict, tuple]:
         "b5": packed["mid"][0]["b"][None],
         "b6": packed["mid"][1]["b"][None],
         "l7_blk": packed["l7_blk"], "l7_sel": packed["l7_sel"],
+        "l7_blk2": packed["l7_blk2"],
         "b7": np.asarray(packed["b7"], np.float32).reshape(1, 1),
     }
     arrays["w2b"], spec3 = pack_pair_kernel(w[2])
@@ -215,10 +224,10 @@ def _leaky(x):
     return jnp.maximum(x, 0) + jnp.float32(0.1) * jnp.minimum(x, 0)
 
 
-def _stack_body(tr, tc, cdtype, accdt, spec, fuse_u8, xa, xb, xc, xd,
-                l1_ref, b1_ref, w2a_ref, b2a_ref, w2b_ref, b2b_ref, w2c_ref,
-                b2c_ref, w5_ref, b5_ref, w6_ref, b6_ref, blk_ref, sel_ref,
-                b7_ref, *rest):
+def _stack_body(tr, tc, cdtype, accdt, spec, fuse_u8, l7_fold, xa, xb, xc,
+                xd, l1_ref, b1_ref, w2a_ref, b2a_ref, w2b_ref, b2b_ref,
+                w2c_ref, b2c_ref, w5_ref, b5_ref, w6_ref, b6_ref, blk_ref,
+                sel_ref, blk2_ref, b7_ref, *rest):
     """The whole 7-layer stack as ONE kernel body (uvp_ref present iff
     fuse_u8). Fusing K1+K2 keeps the X4 handoff in a VMEM scratch: storing
     a computed value into a pipelined HBM out block costs ~1.5 ms per 4
@@ -340,15 +349,33 @@ def _stack_body(tr, tc, cdtype, accdt, spec, fuse_u8, xa, xb, xc, xd,
                 a[...] += part
         x6p = _leaky(a[...] + b6_ref[0, p * 128:(p + 1) * 128].astype(accdt)
                      ).astype(cdtype)
-        zt[:, 0:wc, p * 16:(p + 1) * 16] = _dot3(
-            x6p, blk_ref[p * 128:(p + 1) * 128, p * 16:(p + 1) * 16]
-        ).astype(zt.dtype)
+        if l7_fold:
+            # tap partials land directly on output lanes s*4+q (see
+            # s2d.pack_l7_fold), summed over phases in the f32 scratch
+            part = _dot3(x6p, blk2_ref[p * 128:(p + 1) * 128, :])
+            if p == 0:
+                zt[:, 0:wc, :] = part.astype(zt.dtype)
+            else:
+                zt[:, 0:wc, :] += part.astype(zt.dtype)
+        else:
+            zt[:, 0:wc, p * 16:(p + 1) * 16] = _dot3(
+                x6p, blk_ref[p * 128:(p + 1) * 128, p * 16:(p + 1) * 16]
+            ).astype(zt.dtype)
     y = None
-    for Dy in (0, 1):
-        for Dx in (0, 1):
-            part = _dot3(zt[Dy:Dy + tr, Dx:Dx + tc, :],
-                         sel_ref[(Dy * 2 + Dx) * 64:(Dy * 2 + Dx + 1) * 64, :])
-            y = part if y is None else y + part
+    if l7_fold:
+        # the 9-tap shift-sum is four 4-lane slice adds, no MXU pass
+        for Dy in (0, 1):
+            for Dx in (0, 1):
+                s = Dy * 2 + Dx
+                part = zt[Dy:Dy + tr, Dx:Dx + tc, s * 4:s * 4 + 4]
+                y = part if y is None else y + part
+    else:
+        for Dy in (0, 1):
+            for Dx in (0, 1):
+                part = _dot3(
+                    zt[Dy:Dy + tr, Dx:Dx + tc, :],
+                    sel_ref[(Dy * 2 + Dx) * 64:(Dy * 2 + Dx + 1) * 64, :])
+                y = part if y is None else y + part
     y = _leaky(y + b7_ref[0, 0])                   # f32 [tr, tc, 4 phases]
     if not fuse_u8:
         out_ref[0] = y.astype(cdtype)
@@ -412,9 +439,9 @@ def _full(shape, dtype=None):
 @functools.partial(
     jax.jit,
     static_argnames=("tr", "tc", "ny", "nx", "spec", "interpret",
-                     "acc_f32", "l1_direct"))
+                     "acc_f32", "l1_direct", "l7_fold"))
 def _run_stack(xcol, kp, tr, tc, ny, nx, spec, interpret=False,
-               acc_f32=True, uvp=None, l1_direct=True):
+               acc_f32=True, uvp=None, l1_direct=True, l7_fold=None):
     """uvp=None: emit converted Y in s2d layout (cdtype). uvp given
     ([N, ny*tr, nx*tc, 8] channel-major U/V phases): K2 additionally fuses
     the YUV->BGR + saturate-cast and emits u8, lanes (c*4 + phase)."""
@@ -425,6 +452,8 @@ def _run_stack(xcol, kp, tr, tc, ny, nx, spec, interpret=False,
     cdtype = xcol.dtype
     accdt = jnp.float32 if acc_f32 else cdtype
     fuse_u8 = uvp is not None
+    if l7_fold is None:
+        l7_fold = L7_FOLD
 
     def _xblk(di, dj):
         # The kernel assembles its overlapping (tr+6, tc+16) input window
@@ -446,7 +475,8 @@ def _run_stack(xcol, kp, tr, tc, ny, nx, spec, interpret=False,
     else:
         out_shape = jax.ShapeDtypeStruct((n, ny * tr, nx * tc, 4), cdtype)
     y = pl.pallas_call(
-        functools.partial(_stack_body, tr, tc, cdtype, accdt, spec, fuse_u8),
+        functools.partial(_stack_body, tr, tc, cdtype, accdt, spec, fuse_u8,
+                          l7_fold),
         grid=(n, ny, nx),
         in_specs=[
             _xblk(0, 0), _xblk(0, 1), _xblk(1, 0), _xblk(1, 1),
@@ -456,7 +486,7 @@ def _run_stack(xcol, kp, tr, tc, ny, nx, spec, interpret=False,
             _full((2, 768, 128)), _full((1, 256)),
             _full((4, 576, 128)), _full((1, 512)),
             _full((4, 1152, 128)), _full((1, 512)),
-            _full((512, 64)), _full((256, 4)),
+            _full((512, 64)), _full((256, 4)), _full((512, 16)),
             pl.BlockSpec((1, 1), lambda nn, i, j: (0, 0),
                          memory_space=pltpu.SMEM),
             *uvp_specs,
@@ -481,14 +511,16 @@ def _run_stack(xcol, kp, tr, tc, ny, nx, spec, interpret=False,
                 pltpu.VMEM((tr + 2, tc + 16, 512), cdtype),   # x5
             ]
         ) + [
-            pltpu.VMEM((tr + 1, tc + 16, 64), jnp.float32),  # zt (L7 taps)
+            pltpu.VMEM((tr + 1, tc + 16, 16 if l7_fold else 64),
+                       jnp.float32),                         # zt (L7 taps)
             pltpu.VMEM((tr + 5, tc + 16, 128), accdt),    # shared acc
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(xcol, xcol, xcol, xcol, kp["l1"], kp["b1"], kp["w2a"], kp["b2a"],
       kp["w2b"], kp["b2b"], kp["w2c"], kp["b2c"], kp["w5"], kp["b5"],
-      kp["w6"], kp["b6"], kp["l7_blk"], kp["l7_sel"], kp["b7"], *uvp_args)
+      kp["w6"], kp["b6"], kp["l7_blk"], kp["l7_sel"], kp["l7_blk2"],
+      kp["b7"], *uvp_args)
     return y
 
 

@@ -247,6 +247,39 @@ def pack_l7(w7) -> tuple[np.ndarray, np.ndarray]:
     return blk, sel
 
 
+def pack_l7_fold(w7) -> np.ndarray:
+    """Last layer (3x3, ci->1) with the 0/1 selection FOLDED into the
+    block-diagonal tap matmul (the fast-kernel alternative to `pack_l7`).
+
+    Key fact: for an input phase (a, b) and tap (dy, dx) there is exactly
+    ONE (output phase (A, B), block shift (Dy, Dx)) it contributes to
+    (A = (a - dy) mod 2, Dy = (A + dy) // 2; same for columns). So the
+    per-tap partials can be emitted directly on output lanes
+    s*4 + q  (s = Dy*2+Dx, q = A*2+B), summed over input phases:
+
+        Zt[I, J, s*4 + q] = sum_ab X6_s2d[I, J, ab-lanes] @ blk2[ab]
+        Y_s2d[I, J, q]    = sum_s  Zt[I + Dy, J + Dx, s*4 + q]
+
+    which replaces `pack_l7`'s four f32 selection matmuls with four 4-lane
+    VPU shift-adds. Returns blk2 [4ci, 16].
+    """
+    w7 = np.asarray(w7, np.float32)
+    kh, kw, ci, co = w7.shape
+    assert (kh, kw, co) == (3, 3, 1)
+    blk2 = np.zeros((4 * ci, 16), np.float32)
+    for a in range(2):
+        for b in range(2):
+            ab = a * 2 + b
+            for dy in range(3):
+                for dx in range(3):
+                    A, B = (a - dy) % 2, (b - dx) % 2
+                    Dy, Dx = (A + dy) // 2, (B + dx) // 2
+                    s = Dy * 2 + Dx
+                    q = A * 2 + B
+                    blk2[ab * ci:(ab + 1) * ci, s * 4 + q] += w7[dy, dx, :, 0]
+    return blk2
+
+
 def pack_stack(params, scale_input: bool) -> dict:
     """Pack a 7-layer parameter pytree for the polyphase fast path.
 
@@ -283,6 +316,7 @@ def pack_stack(params, scale_input: bool) -> dict:
         gspec.append(tuple(spec_i))
     packed["gspec"] = tuple(gspec)
     packed["l7_blk"], packed["l7_sel"] = pack_l7(w[6])
+    packed["l7_blk2"] = pack_l7_fold(w[6])
     packed["b7"] = b[6]
     return packed
 
