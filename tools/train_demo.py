@@ -52,8 +52,18 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--crop", type=int, default=96)
-    ap.add_argument("--out", default="models/scale2.0x_demo.json")
+    ap.add_argument("--kind", default="scale", choices=["scale", "noise"],
+                    help="training pair kind (pairwise_transform.{scale,"
+                         "jpeg} analogues, train/data.py)")
+    ap.add_argument("--noise_level", type=int, default=1, choices=[1, 2])
+    ap.add_argument("--images", type=int, default=64,
+                    help="synthetic training images to generate")
+    ap.add_argument("--out", default=None,
+                    help="output JSON (default: models/<kind>_demo name)")
     args = ap.parse_args()
+    if args.out is None:
+        args.out = ("models/scale2.0x_demo.json" if args.kind == "scale"
+                    else f"models/noise{args.noise_level}_demo.json")
 
     from waifu2x_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -67,14 +77,15 @@ def main() -> int:
     from waifu2x_tpu.utils.metrics import psnr
 
     rng = np.random.default_rng(0)
-    train_imgs = [synth_image(rng) for _ in range(64)]
+    train_imgs = [synth_image(rng) for _ in range(args.images)]
     test_imgs = [synth_image(rng) for _ in range(8)]
     opts = PairOptions(crop_size=args.crop)
 
     params0 = init_params(jax.random.PRNGKey(0), WAIFU2X_7LAYER)
     cfg = TrainConfig(batch_size=args.batch, crop_size=args.crop,
                       precision="default")
-    batches = (make_batch(train_imgs, args.batch, "scale", rng, opts)
+    batches = (make_batch(train_imgs, args.batch, args.kind, rng, opts,
+                          noise_level=args.noise_level)
                for _ in range(args.steps))
     params, losses = train_loop(params0, batches, cfg)
     print(f"trained {args.steps} steps: mse {losses[0]:.5f} -> "
@@ -85,8 +96,8 @@ def main() -> int:
     def eval_psnr(p):
         scores = []
         for im in test_imgs:
-            x, y = make_batch([im], 1, "scale", np.random.default_rng(7),
-                              opts)
+            x, y = make_batch([im], 1, args.kind, np.random.default_rng(7),
+                              opts, noise_level=args.noise_level)
             out = np.asarray(convert_plane(
                 jax.numpy.asarray(x[0, :, :, 0]), p, precision="highest"))
             off = (x.shape[1] - y.shape[1]) // 2
