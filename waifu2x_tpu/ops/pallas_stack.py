@@ -224,10 +224,10 @@ def _leaky(x):
     return jnp.maximum(x, 0) + jnp.float32(0.1) * jnp.minimum(x, 0)
 
 
-def _stack_body(tr, tc, cdtype, accdt, spec, fuse_u8, l7_fold, xa, xb, xc,
-                xd, l1_ref, b1_ref, w2a_ref, b2a_ref, w2b_ref, b2b_ref,
-                w2c_ref, b2c_ref, w5_ref, b5_ref, w6_ref, b6_ref, blk_ref,
-                sel_ref, blk2_ref, b7_ref, *rest):
+def _stack_body(tr, tc, cdtype, accdt, spec, fuse_u8, l7_fold, narrow, xa,
+                xb, xc, xd, l1_ref, b1_ref, w2a_ref, b2a_ref, w2b_ref,
+                b2b_ref, w2c_ref, b2c_ref, w5_ref, b5_ref, w6_ref, b6_ref,
+                blk_ref, sel_ref, blk2_ref, b7_ref, *rest):
     """The whole 7-layer stack as ONE kernel body (uvp_ref present iff
     fuse_u8). Fusing K1+K2 keeps the X4 handoff in a VMEM scratch: storing
     a computed value into a pipelined HBM out block costs ~1.5 ms per 4
@@ -281,15 +281,20 @@ def _stack_body(tr, tc, cdtype, accdt, spec, fuse_u8, l7_fold, xa, xb, xc,
         def l1q(q):
             return _leaky(_dot3(q, l1_ref[:], accdt) + b1v).astype(cdtype)
 
+        # `narrow`: the right/below/diag inputs arrive as stripe blocks
+        # (16 cols / 8 rows) instead of full neighbor tiles — ~4x less
+        # input DMA and window VMEM (the corner slivers were fetched whole)
         x1[0:tr, 0:tc, :] = l1q(xa[0])
-        x1[0:tr, tc:tc + 16, :] = l1q(xb[0][:, 0:16, :])
+        x1[0:tr, tc:tc + 16, :] = l1q(xb[0] if narrow else xb[0][:, 0:16, :])
         x1[tr:tr + 6, 0:tc, :] = l1q(xc[0][0:6, :, :])
-        x1[tr:tr + 6, tc:tc + 16, :] = l1q(xd[0][0:6, 0:16, :])
+        x1[tr:tr + 6, tc:tc + 16, :] = l1q(
+            xd[0][0:6, :, :] if narrow else xd[0][0:6, 0:16, :])
     else:
         xin[0:tr, 0:tc, :] = xa[0]
-        xin[0:tr, tc:tc + 16, :] = xb[0][:, 0:16, :]
+        xin[0:tr, tc:tc + 16, :] = xb[0] if narrow else xb[0][:, 0:16, :]
         xin[tr:tr + 6, 0:tc, :] = xc[0][0:6, :, :]
-        xin[tr:tr + 6, tc:tc + 16, :] = xd[0][0:6, 0:16, :]
+        xin[tr:tr + 6, tc:tc + 16, :] = (
+            xd[0][0:6, :, :] if narrow else xd[0][0:6, 0:16, :])
         # L1: one matmul over the 16-lane im2col
         x1[:] = _leaky(_dot3(xin[:], l1_ref[:], accdt)
                        + b1_ref[0].astype(accdt)).astype(cdtype)
@@ -464,6 +469,30 @@ def _run_stack(xcol, kp, tr, tc, ny, nx, spec, interpret=False,
                             (nn, i + di, j + dj, 0),
                             memory_space=pltpu.VMEM)
 
+    # Stripe blocks for the three neighbor fetches: only the first 16 cols
+    # of the right tile, 8 rows of the below tile and the 8x16 corner of
+    # the diag tile are ever read, so fetch exactly those (block grids of
+    # 16-col / 8-row stripes over the same array; index maps point at the
+    # neighbor tile's leading stripe). Requires tr % 8 == tc % 16 == 0.
+    narrow = tr % 8 == 0 and tc % 16 == 0
+    cb, rb = tc // 16, tr // 8
+
+    def _xblk_right():
+        return pl.BlockSpec((1, tr, 16, 16),
+                            lambda nn, i, j: (nn, i, (j + 1) * cb, 0),
+                            memory_space=pltpu.VMEM)
+
+    def _xblk_below():
+        return pl.BlockSpec((1, 8, tc, 16),
+                            lambda nn, i, j: (nn, (i + 1) * rb, j, 0),
+                            memory_space=pltpu.VMEM)
+
+    def _xblk_diag():
+        return pl.BlockSpec((1, 8, 16, 16),
+                            lambda nn, i, j: (nn, (i + 1) * rb,
+                                              (j + 1) * cb, 0),
+                            memory_space=pltpu.VMEM)
+
     uvp_specs = []
     uvp_args = []
     if fuse_u8:
@@ -476,10 +505,13 @@ def _run_stack(xcol, kp, tr, tc, ny, nx, spec, interpret=False,
         out_shape = jax.ShapeDtypeStruct((n, ny * tr, nx * tc, 4), cdtype)
     y = pl.pallas_call(
         functools.partial(_stack_body, tr, tc, cdtype, accdt, spec, fuse_u8,
-                          l7_fold),
+                          l7_fold, narrow),
         grid=(n, ny, nx),
         in_specs=[
-            _xblk(0, 0), _xblk(0, 1), _xblk(1, 0), _xblk(1, 1),
+            _xblk(0, 0),
+            _xblk_right() if narrow else _xblk(0, 1),
+            _xblk_below() if narrow else _xblk(1, 0),
+            _xblk_diag() if narrow else _xblk(1, 1),
             _full((16, 128)), _full((1, 128)),
             _full((4, 128, 128)), _full((1, 128)),
             _full((2, 384, 128)), _full((1, 256)),
