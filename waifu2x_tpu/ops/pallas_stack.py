@@ -66,13 +66,13 @@ ALIAS_SCRATCH = _os.environ.get("W2X_ALIAS_SCRATCH", "") == "1"
 # tiles). Bit-exact in interpret mode; process-level switch, set the env
 # var before the first kernel trace. Default off until TPU-validated.
 
-L7_FOLD = _os.environ.get("W2X_L7_FOLD", "") == "1"
-# opt-in: fold the L7 selection into the tap matmul (s2d.pack_l7_fold) —
-# zt carries lanes s*4+q accumulated over phases and the four f32 sel
-# MXU passes become four 4-lane VPU shift-adds. Same partial products,
-# different f32 summation order (not bit-identical to the sel path;
-# equal within 1e-5 — tests/test_pallas_stack.py). Default off until
-# TPU-measured.
+L7_FOLD = _os.environ.get("W2X_L7_FOLD", "1") == "1"
+# default ON (opt-out W2X_L7_FOLD=0): fold the L7 selection into the tap
+# matmul (s2d.pack_l7_fold) — zt carries lanes s*4+q accumulated over
+# phases and the four f32 sel MXU passes become four 4-lane VPU
+# shift-adds. Same partial products, different f32 summation order (not
+# bit-identical to the sel path; equal within 1e-5 —
+# tests/test_pallas_stack.py). TPU A/B: 191.3 vs 190.0 MP/s on scale512.
 
 
 # ---------------------------------------------------------------------------
