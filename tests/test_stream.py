@@ -63,7 +63,7 @@ def test_stream_checkpoint_resume(rng, tmp_path):
     sc = StreamConverter(fast, batch=2)
     sc.process_paths(paths[:3], outs[:3], checkpoint=ckpt)
     import json
-    assert json.load(open(ckpt))["done"] == 3
+    assert json.load(open(ckpt))["cursor"] == 3
 
     # resume over the FULL list: frames 0-2 must be skipped (their outputs
     # untouched), 3-4 produced
@@ -73,7 +73,7 @@ def test_stream_checkpoint_resume(rng, tmp_path):
     assert [os.path.getmtime(o) for o in outs[:3]] == mtimes
     for o in outs:
         assert w2x_io.imread_bgr(o).shape == (32, 32, 3)
-    assert json.load(open(ckpt))["done"] == 5
+    assert json.load(open(ckpt))["cursor"] == 5
 
     # fully-done cursor: no work, no error
     sc.process_paths(paths, outs, checkpoint=ckpt)

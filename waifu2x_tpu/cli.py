@@ -56,8 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--precision", default="highest",
                    choices=["default", "high", "highest"],
                    help="f32 matmul precision on TPU")
-    p.add_argument("--compute_dtype", default="float32",
-                   choices=["float32", "bfloat16"])
+    p.add_argument("--compute_dtype", default="auto",
+                   choices=["auto", "float32", "bfloat16"],
+                   help="auto = float32 XLA path / bfloat16 Pallas kernels "
+                        "(f32 accumulation); explicit values are honored "
+                        "on both paths")
     p.add_argument("--pallas", action="store_true",
                    help="use the fused Pallas conv kernel (TPU only)")
     p.add_argument("--alpha", default="ignore", choices=["ignore", "bicubic"],

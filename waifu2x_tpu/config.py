@@ -22,7 +22,10 @@ class Config:
 
     # --- TPU-native extensions (no reference analogue) ---
     precision: str = "highest"         # f32 matmul passes: default|high|highest
-    compute_dtype: str = "float32"     # float32 | bfloat16
+    compute_dtype: str = "auto"        # auto | float32 | bfloat16; auto =
+    #   float32 on the XLA path, bfloat16 activations (f32 tap accumulation)
+    #   in the fused Pallas kernels — each path's measured fidelity/perf
+    #   point (docs/PERF.md; the bf16 kernels hold 51.4 dB >= the 50 bar)
     use_pallas: bool = False           # fused Pallas conv stack on TPU
     tile_size: int = 512               # device tile size for batched tiling
     batch_tiles: int = 8               # tiles batched per device step
@@ -39,6 +42,9 @@ class Config:
         if self.block_size < 0:
             # mirrors modelUtility::setBlockSize validation
             raise ValueError("block_size must be >= 0")
+        if self.compute_dtype not in ("auto", "float32", "bfloat16"):
+            raise ValueError(
+                f"invalid compute_dtype: {self.compute_dtype!r}")
 
     def with_block_size_exp2_square(self, exp: int) -> "Config":
         """Power-of-two square block helper, mirroring

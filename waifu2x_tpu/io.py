@@ -119,5 +119,13 @@ def auto_output_name(input_path: str, mode: str, noise_level: int,
 
 def default_model_dir() -> str:
     """Bundled models directory (repo's models/, like the reference's
-    default `models` flag value, main.cpp:56)."""
-    return os.path.join(os.path.dirname(os.path.dirname(__file__)), "models")
+    default `models` flag value, main.cpp:56). For pip installs (no models/
+    sibling of the package, and site-packages may not be writable) fall
+    back to a per-user cache dir that ensure_default_models can populate."""
+    repo_dir = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "models")
+    if os.path.isdir(repo_dir):
+        return repo_dir
+    cache_root = os.environ.get(
+        "XDG_CACHE_HOME", os.path.join(os.path.expanduser("~"), ".cache"))
+    return os.path.join(cache_root, "waifu2x_tpu", "models")

@@ -116,7 +116,9 @@ def imread(path: str, keep_alpha: bool = False) -> np.ndarray | None:
     else:
         return None
     if rc != 0:
-        raise IOError(f"native decode failed ({rc}): {path}")
+        # e.g. CMYK JPEG or a libpng error path: None lets the caller's
+        # cv2/PIL fallback chain handle the file instead of crashing
+        return None
     return _take(lib, out, h.value, w.value, c.value)
 
 

@@ -564,24 +564,29 @@ def _grid_for(hl: int, wl: int, tr: int, tc: int) -> tuple[int, int]:
 
 
 # VMEM budget expressed in tile cells: (tr+2)*(tc+16) for the known-good
-# (64, 128) default ~= 9500; larger tiles hit the 128 MB compile limit.
+# (64, 128) default ~= 9500 at bf16 activations; larger tiles hit the
+# 128 MB compile limit. Scratch VMEM scales with the activation itemsize,
+# so f32 kernels get half the cell budget.
 _MAX_CELLS = (64 + 2) * (128 + 16)
 
 
-def pick_tile(hl: int, wl: int) -> tuple[int, int]:
+def pick_tile(hl: int, wl: int, itemsize: int = 2) -> tuple[int, int]:
     """Choose an (rows, cols) s2d tile for an hl x wl low-res image.
 
-    Rows have no alignment constraint and columns must be multiples of 8,
-    so the search minimizes total kernel work — grid padding (ceil to tile
-    multiples) plus the per-tile halo (+4.5 rows avg across K1/K2 layers,
-    +8 compute columns) — under the VMEM cell budget. For 512-multiples
-    this returns the measured-best (64, 128); for e.g. 540x960 (1080p) it
-    finds exact divisors and removes the ~14%% grid-pad waste of a fixed
-    tile."""
+    The search is restricted to stripe-fetch-aligned tiles (tr % 8 == 0,
+    tc % 16 == 0 — the `narrow` condition in _run_stack) so the 4x-cheaper
+    stripe-block neighbor fetches stay on at every image shape, and
+    minimizes total kernel work — grid padding (ceil to tile multiples)
+    plus the per-tile halo (+4.5 rows avg across K1/K2 layers, +8 compute
+    columns) — under the VMEM cell budget. For 512-multiples this returns
+    the measured-best (64, 128); alignment costs at most a few %% of
+    grid-pad waste vs the old unaligned search, far less than losing the
+    stripe fetch."""
+    budget = _MAX_CELLS * 2 // max(itemsize, 2)
     best = None
-    for tr in range(24, 129, 2):
-        for tc in range(96, 161, 8):
-            if (tr + 2) * (tc + 16) > _MAX_CELLS:
+    for tr in range(24, 129, 8):
+        for tc in range(96, 161, 16):
+            if (tr + 2) * (tc + 16) > budget:
                 continue
             ny, nx = -(-hl // tr), -(-wl // tc)
             work = ny * nx * (tr + 4.5) * (tc + 8)
@@ -643,7 +648,7 @@ def stack_scale(ylow: jax.Array, kernel_params, spec,
     s2d layout [N, hl, wl, 4] (channel (A*2+B) = full-res pixel (2i+A, 2j+B);
     equals the reference's nearest-2x + pad-7 + 7-layer stack)."""
     n, hl, wl = ylow.shape
-    tr, tc = tile or pick_tile(hl, wl)
+    tr, tc = tile or pick_tile(hl, wl, ylow.dtype.itemsize)
     ny, nx = _grid_for(hl, wl, tr, tc)
     xcol = _xcol_scale(ylow, tr, tc)
     y = _run_stack(xcol, kernel_params, tr, tc, ny, nx, spec,
@@ -659,7 +664,7 @@ def stack_scale_fused_u8(ylow: jax.Array, uvp: jax.Array, kernel_params,
     with `uv_phases_for`) -> uint8 BGR, lanes (c*4 + phase), [N, hl, wl, 16]
     after cropping. K2 performs the YUV->BGR + saturate-cast in-kernel."""
     n, hl, wl = ylow.shape
-    tr, tc = tile or pick_tile(hl, wl)
+    tr, tc = tile or pick_tile(hl, wl, ylow.dtype.itemsize)
     ny, nx = _grid_for(hl, wl, tr, tc)
     xcol = _xcol_scale(ylow, tr, tc)
     out = _run_stack(xcol, kernel_params, tr, tc, ny, nx, spec,
@@ -670,7 +675,7 @@ def stack_scale_fused_u8(ylow: jax.Array, uvp: jax.Array, kernel_params,
 def grid_dims(hl: int, wl: int,
               tile: tuple[int, int] | None) -> tuple[int, int]:
     """Tile-grid-padded dims (hp, wp) for a given image/tile size."""
-    tr, tc = tile or pick_tile(hl, wl)
+    tr, tc = tile or pick_tile(hl, wl, ylow.dtype.itemsize)
     ny, nx = _grid_for(hl, wl, tr, tc)
     return ny * tr, nx * tc
 
@@ -683,7 +688,7 @@ def stack_noise(y: jax.Array, kernel_params, spec,
     keeps the interior bit-identical — convertRoutine.cpp:35-36 semantics).
     """
     n, h, w = y.shape
-    tr, tc = tile or pick_tile(-(-h // 2), -(-w // 2))
+    tr, tc = tile or pick_tile(-(-h // 2), -(-w // 2), y.dtype.itemsize)
     he, we = h + (h % 2), w + (w % 2)
     if (he, we) != (h, w):
         y = jnp.pad(y, ((0, 0), (0, he - h), (0, we - w)), mode="edge")

@@ -136,6 +136,14 @@ def _fast_import():
     return pallas_stack
 
 
+def _kernel_dtype(cfg: Config):
+    """Fused-kernel storage dtype for a Config: 'auto' means bf16
+    activations with f32 tap accumulation (the measured fidelity/perf
+    point, >=50 dB); 'float32' is honored with a halved tile budget
+    (pick_tile scales by itemsize)."""
+    return jnp.float32 if cfg.compute_dtype == "float32" else jnp.bfloat16
+
+
 @dataclasses.dataclass(frozen=True)
 class FastStack:
     """Device-ready fused-kernel parameters for one model."""
@@ -248,14 +256,14 @@ def scale2x_batch_u8_fused(yuv: jax.Array, fast: FastStack,
     n, h, w, _ = yuv.shape
     dtype = jnp.dtype(fast.dtype).type
     if h <= band_rows:
-        tile = fast.tile or ps.pick_tile(h, w)
+        tile = fast.tile or ps.pick_tile(h, w, jnp.dtype(fast.dtype).itemsize)
         return _fused_step(yuv, fast.kp, tile, fast.spec, fast.interpret,
                            dtype)
     k = _BAND_HALO
     n_bands = -(-h // band_rows)
     rows = -(-h // n_bands)          # even bands: no oversized tail slice
     size = min(h, rows + 2 * k)
-    tile = fast.tile or ps.pick_tile(size, w)
+    tile = fast.tile or ps.pick_tile(size, w, jnp.dtype(fast.dtype).itemsize)
     outs = []
     for b0 in range(0, h, rows):
         nrows = min(rows, h - b0)
@@ -324,15 +332,18 @@ class Converter:
     def from_config(cls, cfg: Config) -> "Converter":
         noise_params = scale_params = None
         fast_noise = fast_scale = None
+        kdtype = _kernel_dtype(cfg)
         if cfg.mode in ("noise", "noise_scale"):
             noise_params = load_model_json(
                 model_file_for(cfg.model_dir, True, cfg.noise_level))
             if cfg.use_pallas:
-                fast_noise = FastStack.build(noise_params, scale_input=False)
+                fast_noise = FastStack.build(noise_params, scale_input=False,
+                                             dtype=kdtype)
         if cfg.mode in ("scale", "noise_scale"):
             scale_params = load_model_json(model_file_for(cfg.model_dir, False))
             if cfg.use_pallas:
-                fast_scale = FastStack.build(scale_params, scale_input=True)
+                fast_scale = FastStack.build(scale_params, scale_input=True,
+                                             dtype=kdtype)
         return cls(cfg, noise_params, scale_params, fast_noise, fast_scale)
 
     def process_yuv(self, yuv: jax.Array) -> jax.Array:
@@ -385,9 +396,16 @@ def convert_image(bgr_u8: np.ndarray, cfg: Config,
         noise_params = None
     if cfg.mode not in ("scale", "noise_scale"):
         scale_params = None
+    fast_noise = fast_scale = None
     if noise_params is not None:
         validate_params(noise_params)
+        if cfg.use_pallas:
+            fast_noise = FastStack.build(noise_params, scale_input=False,
+                                         dtype=_kernel_dtype(cfg))
     if scale_params is not None:
         validate_params(scale_params)
-    conv = Converter(cfg, noise_params, scale_params)
+        if cfg.use_pallas:
+            fast_scale = FastStack.build(scale_params, scale_input=True,
+                                         dtype=_kernel_dtype(cfg))
+    conv = Converter(cfg, noise_params, scale_params, fast_noise, fast_scale)
     return conv.process_bgr_u8(bgr_u8)

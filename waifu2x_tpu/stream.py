@@ -25,6 +25,7 @@ from waifu2x_tpu import io as w2x_io
 from waifu2x_tpu.ops.color import bgr_to_yuv, u8_to_unit_f32
 from waifu2x_tpu.ops.s2d import d2s_host_cmajor
 from waifu2x_tpu.pipeline import FastStack, scale2x_batch_u8_fused
+from waifu2x_tpu.train.checkpoint import load_frame_cursor, save_frame_cursor
 
 
 @jax.jit
@@ -93,33 +94,20 @@ class StreamConverter:
         """
         start = 0
         if checkpoint is not None:
-            start = _read_cursor(checkpoint)
+            start = load_frame_cursor(checkpoint)
             if start >= len(paths):
                 return
-        imgs = w2x_io.imread_batch_bgr(list(paths[start:]), jobs=jobs)
+
+        def decoded() -> Iterator[np.ndarray]:
+            # decode in batch-sized chunks (native thread pool per chunk)
+            # so host RAM holds O(batch * depth) frames, not the whole
+            # stream — process_frames consumes the iterator incrementally
+            for c0 in range(start, len(paths), self.batch):
+                yield from w2x_io.imread_batch_bgr(
+                    list(paths[c0:c0 + self.batch]), jobs=jobs)
+
         for idx, result in zip(range(start, len(paths)),
-                               self.process_frames(imgs)):
+                               self.process_frames(decoded())):
             w2x_io.imwrite_bgr(out_paths[idx], result)
             if checkpoint is not None:
-                _write_cursor(checkpoint, idx + 1)
-
-
-def _read_cursor(path: str) -> int:
-    import json
-    import os
-    if not os.path.exists(path):
-        return 0
-    try:
-        with open(path) as f:
-            return int(json.load(f)["done"])
-    except (ValueError, KeyError, OSError):
-        return 0
-
-
-def _write_cursor(path: str, done: int) -> None:
-    import json
-    import os
-    tmp = f"{path}.tmp"
-    with open(tmp, "w") as f:
-        json.dump({"done": done}, f)
-    os.replace(tmp, path)  # atomic: a crash never leaves a torn cursor
+                save_frame_cursor(checkpoint, idx + 1)

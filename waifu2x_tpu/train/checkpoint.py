@@ -51,7 +51,12 @@ def save_frame_cursor(path: str, cursor: int, meta: dict | None = None) -> None:
 
 
 def load_frame_cursor(path: str) -> int:
+    """Missing or torn cursor files mean 'start from frame 0' — resume must
+    never crash on the state it exists to recover from."""
     if not os.path.exists(path):
         return 0
-    with open(path) as f:
-        return int(json.load(f)["cursor"])
+    try:
+        with open(path) as f:
+            return int(json.load(f)["cursor"])
+    except (ValueError, KeyError, OSError):
+        return 0
