@@ -66,6 +66,11 @@ ALIAS_SCRATCH = _os.environ.get("W2X_ALIAS_SCRATCH", "") == "1"
 # tiles). Bit-exact in interpret mode; process-level switch, set the env
 # var before the first kernel trace. Default off until TPU-validated.
 
+PAIR_DIRECT = _os.environ.get("W2X_PAIR_DIRECT", "") == "1"
+# opt-in: store each phase-pair half (L3/L4) directly instead of through
+# a concatenated temporary — time-neutral (measured), less scoped VMEM;
+# exists for big-tile fit experiments (see block_pair).
+
 L7_FOLD = _os.environ.get("W2X_L7_FOLD", "1") == "1"
 # default ON (opt-out W2X_L7_FOLD=0): fold the L7 selection into the tap
 # matmul (s2d.pack_l7_fold) — zt carries lanes s*4+q accumulated over
@@ -314,9 +319,12 @@ def _stack_body(tr, tc, cdtype, accdt, spec, fuse_u8, l7_fold, narrow, xa,
     x2[:, 0:wc, :] = block4(x1, w2a_ref, b2a_ref, tr + 5)
 
     # L3-L4: phase-pair matmuls (see pack_pair_kernel) — N packed to 2co,
-    # K-union 12ci. Both row-parity halves are stored in ONE full-lane
-    # write (a half-lane partial store would be a masked read-modify-write
-    # of the whole buffer).
+    # K-union 12ci. Default: both row-parity halves are stored in ONE
+    # full-lane write. PAIR_DIRECT stores each half as it finishes —
+    # time-measured exactly 0 in the full kernel (downstream absorbs it),
+    # but it skips the concatenated temporary, lowering the scoped-VMEM
+    # high-water mark for big-tile fits; the co2=128 halves are full
+    # lane-granule slices, so the partial store is not a masked RMW.
     def block_pair(src, w_ref, b_ref, pspec, rows, dst):
         co2 = w_ref.shape[2]
         vals = []
@@ -329,9 +337,14 @@ def _stack_body(tr, tc, cdtype, accdt, spec, fuse_u8, l7_fold, narrow, xa,
                     a[...] = part
                 else:
                     a[...] += part
-            vals.append(_leaky(a[...] + b_ref[0, A * co2:(A + 1) * co2]
-                               .astype(accdt)).astype(cdtype))
-        dst[:, 0:wc, :] = jnp.concatenate(vals, axis=-1)
+            val = _leaky(a[...] + b_ref[0, A * co2:(A + 1) * co2]
+                         .astype(accdt)).astype(cdtype)
+            if PAIR_DIRECT:
+                dst[:, 0:wc, A * co2:(A + 1) * co2] = val
+            else:
+                vals.append(val)
+        if not PAIR_DIRECT:
+            dst[:, 0:wc, :] = jnp.concatenate(vals, axis=-1)
 
     block_pair(x2, w2b_ref, b2b_ref, spec3, tr + 4, x3)
     block_pair(x3, w2c_ref, b2c_ref, spec4, tr + 3, x4)
