@@ -60,11 +60,13 @@ VMEM_LIMIT = int(_os.environ.get("W2X_VMEM_LIMIT_MB", "110")) * 1024 * 1024
 # chip has 128 MB; the fused-u8 stack with quadrant-direct L1 needs
 # ~101.3 MB scoped at the default tile. Env knob exists for tile probes.
 
-ALIAS_SCRATCH = _os.environ.get("W2X_ALIAS_SCRATCH", "") == "1"
-# opt-in: activations time-share two scratch buffers (x1/x3/x5 in A,
-# x2/x4 in B; ~9.5 MB less VMEM at the default tile — headroom for bigger
-# tiles). Bit-exact in interpret mode; process-level switch, set the env
-# var before the first kernel trace. Default off until TPU-validated.
+ALIAS_SCRATCH = _os.environ.get("W2X_ALIAS_SCRATCH", "1") == "1"
+# default ON (opt-out W2X_ALIAS_SCRATCH=0): activations time-share two
+# scratch buffers (x1/x3/x5 in A, x2/x4 in B; ~9.5 MB less VMEM at the
+# default tile). Bit-exact in interpret mode; process-level switch, set
+# the env var before the first kernel trace. TPU A/B at the default
+# tile: 193.6 vs 191.3 MP/s on scale512, PSNR 51.65 dB — the kernel is
+# scoped-VMEM-pressure-bound, so the relief also speeds it up.
 
 PAIR_DIRECT = _os.environ.get("W2X_PAIR_DIRECT", "") == "1"
 # opt-in: store each phase-pair half (L3/L4) directly instead of through
