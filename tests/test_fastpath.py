@@ -126,3 +126,25 @@ def test_converter_pallas_matches_xla(params, rng, tmp_path):
     got = conv.process_bgr_u8(img)
     diff = np.abs(ref.astype(int) - got.astype(int))
     assert diff.max() <= 1 and (diff != 0).mean() < 0.01
+
+
+def test_fused_u8_bf16_uvp_close(fast, rng):
+    """bf16 polyphase U/V input (the W2X_UVP_BF16 VMEM saver) must stay
+    within 1 u8 step of the f32-uvp kernel on few pixels: only U/V
+    quantize (~2^-9 relative), Y is untouched."""
+    from waifu2x_tpu.ops import pallas_stack as ps
+    from waifu2x_tpu.pipeline import _uv_phases_cmajor
+
+    yuv = jnp.asarray(rng.random((2, 18, 20, 3), dtype=np.float32))
+    tile = fast.tile or (16, 16)
+    uvp = _uv_phases_cmajor(yuv, tile)
+    ylow = yuv[..., 0].astype(fast.dtype)
+    a = np.asarray(ps.stack_scale_fused_u8(
+        ylow, uvp, fast.kp, fast.spec, tile, interpret=True))
+    b = np.asarray(ps.stack_scale_fused_u8(
+        ylow, uvp.astype(jnp.bfloat16), fast.kp, fast.spec, tile,
+        interpret=True))
+    diff = np.abs(a.astype(int) - b.astype(int))
+    mse = (diff.astype(np.float64) ** 2).mean()
+    psnr = 10 * np.log10(255.0 ** 2 / mse) if mse > 0 else np.inf
+    assert diff.max() <= 2 and psnr >= 55.0, (diff.max(), psnr)

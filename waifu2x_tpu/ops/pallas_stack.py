@@ -73,6 +73,14 @@ PAIR_DIRECT = _os.environ.get("W2X_PAIR_DIRECT", "") == "1"
 # a concatenated temporary — time-neutral (measured), less scoped VMEM;
 # exists for big-tile fit experiments (see block_pair).
 
+UVP_BF16 = _os.environ.get("W2X_UVP_BF16", "") == "1"
+# opt-in: feed the fused-u8 kernel's polyphase U/V input as bf16. The
+# uvp window has 8 lanes, which Mosaic pads to a 128-lane vreg granule:
+# at f32 x 2 buffering the window costs 16x its nominal bytes (16 MB at
+# a (64,256) tile — the single biggest input allocation). bf16 halves
+# that and the uvp HBM traffic; only U/V quantize (Y is untouched), so
+# the PSNR floor from U/V alone is ~58 dB. Big-tile fit experiments.
+
 L7_FOLD = _os.environ.get("W2X_L7_FOLD", "1") == "1"
 # default ON (opt-out W2X_L7_FOLD=0): fold the L7 selection into the tap
 # matmul (s2d.pack_l7_fold) — zt carries lanes s*4+q accumulated over
@@ -682,6 +690,8 @@ def stack_scale_fused_u8(ylow: jax.Array, uvp: jax.Array, kernel_params,
     tr, tc = tile or pick_tile(hl, wl, ylow.dtype.itemsize)
     ny, nx = _grid_for(hl, wl, tr, tc)
     xcol = _xcol_scale(ylow, tr, tc)
+    if UVP_BF16:
+        uvp = uvp.astype(jnp.bfloat16)   # see the UVP_BF16 flag note
     out = _run_stack(xcol, kernel_params, tr, tc, ny, nx, spec,
                      interpret=interpret, uvp=uvp)
     return out[:, :hl, :wl, :]
@@ -689,8 +699,9 @@ def stack_scale_fused_u8(ylow: jax.Array, uvp: jax.Array, kernel_params,
 
 def grid_dims(hl: int, wl: int,
               tile: tuple[int, int] | None) -> tuple[int, int]:
-    """Tile-grid-padded dims (hp, wp) for a given image/tile size."""
-    tr, tc = tile or pick_tile(hl, wl, ylow.dtype.itemsize)
+    """Tile-grid-padded dims (hp, wp) for a given image/tile size (bf16
+    tile budget when auto-picking)."""
+    tr, tc = tile or pick_tile(hl, wl)
     ny, nx = _grid_for(hl, wl, tr, tc)
     return ny * tr, nx * tc
 
