@@ -102,3 +102,22 @@ def test_identity_model_is_noop_on_y(rng):
     # and vs a pure color-roundtrip (no CNN): identical
     got2 = convert_image(img, Config(mode="noise"), noise_params=p)
     np.testing.assert_array_equal(got, got2)
+
+
+def test_convert_image_honors_use_pallas(rng):
+    """convert_image must route through the fused Pallas path when the
+    config asks for it (use_pallas was previously ignored by the one-shot
+    API). bf16 kernels vs the f32 XLA path: within ~1 u8 step."""
+    img = _img(rng, 24, 32)
+    scale_p = _params(12, WAIFU2X_7LAYER)
+    cfg_xla = Config(mode="scale", use_pallas=False)
+    cfg_pal = Config(mode="scale", use_pallas=True)
+    a = convert_image(img, cfg_xla, scale_params=scale_p)
+    b = convert_image(img, cfg_pal, scale_params=scale_p)
+    assert a.shape == b.shape
+    assert psnr(a, b) > 50
+    # explicit f32 kernels (compute_dtype honored on the Pallas path too)
+    cfg_f32 = Config(mode="scale", use_pallas=True, compute_dtype="float32")
+    c = convert_image(img, cfg_f32, scale_params=scale_p)
+    diff = np.abs(a.astype(int) - c.astype(int))
+    assert diff.max() <= 1
