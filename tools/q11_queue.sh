@@ -1,0 +1,24 @@
+#!/bin/bash
+# Q11 TPU queue: post-alias re-measures of the pre-alias numbers and a
+# tile micro-revalidation around (64,128) under the new defaults.
+# Usage: q11_queue.sh [WAIT_PID]
+cd /root/repo || exit 1
+set -x
+
+if [ -n "$1" ]; then
+    while kill -0 "$1" 2>/dev/null; do sleep 20; done
+fi
+
+# 1. noise256 + ns1080 were measured pre-alias-default
+timeout 2400 python bench.py --workload noise256 > /tmp/q11_noise256.log 2>&1
+echo "Q11 noise256 exit $?" >> /tmp/q11_status.log
+timeout 3600 python bench.py --workload ns1080 > /tmp/q11_ns1080.log 2>&1
+echo "Q11 ns1080 exit $?" >> /tmp/q11_status.log
+
+# 2. tile micro-sweep: is (64,128) still the best under alias+fold?
+for t in 56x128 72x128 80x128; do
+    timeout 2400 python bench.py --tile $t > /tmp/q11_t$t.log 2>&1
+    echo "Q11 t$t exit $?" >> /tmp/q11_status.log
+done
+
+echo "Q11 DONE $(date)" >> /tmp/q11_status.log
