@@ -9,6 +9,11 @@ if [ -n "$1" ]; then
     while kill -0 "$1" 2>/dev/null; do sleep 20; done
 fi
 
+# 0. mixed64 re-run on the pinned-128-column pick_tile (the 160-col pick
+#    hit the XLA lanes-on-taps OOM at 720p batch 8)
+timeout 3600 python bench.py --workload mixed64 > /tmp/q11_mixed64.log 2>&1
+echo "Q11 mixed64 exit $?" >> /tmp/q11_status.log
+
 # 1. noise256 + ns1080 were measured pre-alias-default
 timeout 2400 python bench.py --workload noise256 > /tmp/q11_noise256.log 2>&1
 echo "Q11 noise256 exit $?" >> /tmp/q11_status.log
