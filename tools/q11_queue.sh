@@ -26,8 +26,8 @@ for t in 56x128 72x128 80x128; do
     echo "Q11 t$t exit $?" >> /tmp/q11_status.log
 done
 
-echo "Q11 DONE $(date)" >> /tmp/q11_status.log
-
 # 3. stream4k re-measure on the pinned-128-column picks
 timeout 3600 python bench.py --workload stream4k > /tmp/q11_stream4k.log 2>&1
 echo "Q11 stream4k exit $?" >> /tmp/q11_status.log
+
+echo "Q11 DONE $(date)" >> /tmp/q11_status.log
