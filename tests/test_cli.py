@@ -153,3 +153,27 @@ def test_cli_device_cpu(tmp_path, rng):
                "--device", "cpu", "-m", "scale"])
     assert rc == 0
     assert w2x_io.imread_bgr(dst).shape == (40, 48, 3)
+
+
+def test_zoo_prefers_shipped_demo_weights(tmp_path):
+    """ensure_default_models must materialize missing *_model.json from the
+    shipped TPU-trained *_demo.json (identity placeholders only as a last
+    resort), so a fresh clone converts with real weights."""
+    import json
+    import numpy as np
+    from waifu2x_tpu.models.zoo import ensure_default_models
+    from waifu2x_tpu.models.weights import save_model_json
+    from waifu2x_tpu.models.srcnn import ModelSpec
+    from waifu2x_tpu.models import init_params
+    import jax
+
+    spec = ModelSpec.from_widths([1, 4, 4, 1])
+    trained = init_params(jax.random.PRNGKey(3), spec)
+    save_model_json(str(tmp_path / "noise1_demo.json"), trained)
+    made = ensure_default_models(str(tmp_path), spec)
+    assert len(made) == 3
+    demo = json.load(open(tmp_path / "noise1_demo.json"))
+    got = json.load(open(tmp_path / "noise1_model.json"))
+    assert got == demo  # copied from the demo, not an identity placeholder
+    ident = json.load(open(tmp_path / "noise2_model.json"))
+    assert ident != demo  # no demo shipped for this one -> placeholder

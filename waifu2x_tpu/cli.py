@@ -114,13 +114,14 @@ def main(argv: list[str] | None = None) -> int:
     from waifu2x_tpu.pipeline import Converter  # deferred: imports jax
 
     if args.model_dir is None:
-        # default model dir: auto-provision placeholder identity models if
-        # the trained blobs aren't present (reference blobs are LFS-missing)
+        # default model dir: auto-provision missing model files — copied
+        # from the shipped TPU-trained *_demo.json weights when present,
+        # placeholder identity models otherwise (the reference's own blobs
+        # are LFS-missing upstream)
         from waifu2x_tpu.models.zoo import ensure_default_models
         made = ensure_default_models(cfg.model_dir)
         if made:
-            log.warning("generated placeholder identity models: %s",
-                        ", ".join(made))
+            log.warning("materialized default models: %s", ", ".join(made))
 
     inputs = args.input_file
     if len(inputs) > 1 and args.output_file != "(auto)":

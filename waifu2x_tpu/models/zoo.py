@@ -42,14 +42,25 @@ def identity_params(spec: ModelSpec = WAIFU2X_7LAYER):
 
 def ensure_default_models(model_dir: str,
                           spec: ModelSpec = WAIFU2X_7LAYER) -> list[str]:
-    """Create placeholder identity models for any of the three reference
-    model files that are missing. Returns the list of files written."""
+    """Materialize any missing reference model file: prefer the shipped
+    TPU-trained demo weights (models/*_demo.json, trained by
+    tools/train_demo.py and committed to the repo), fall back to
+    placeholder identity models. Returns the list of files written."""
     os.makedirs(model_dir, exist_ok=True)
     written = []
-    params = identity_params(spec)
+    params = None
     for name in DEFAULT_MODEL_NAMES:
         path = os.path.join(model_dir, name)
-        if not os.path.exists(path):
+        if os.path.exists(path):
+            continue
+        demo = os.path.join(model_dir, name.replace("_model.json",
+                                                    "_demo.json"))
+        if os.path.exists(demo):
+            import shutil
+            shutil.copyfile(demo, path)
+        else:
+            if params is None:
+                params = identity_params(spec)
             save_model_json(path, params)
-            written.append(path)
+        written.append(path)
     return written
