@@ -73,6 +73,12 @@ PAIR_DIRECT = _os.environ.get("W2X_PAIR_DIRECT", "") == "1"
 # a concatenated temporary — time-neutral (measured), less scoped VMEM;
 # exists for big-tile fit experiments (see block_pair).
 
+XCOL_SAFE = _os.environ.get("W2X_XCOL_SAFE", "") == "1"
+# opt-in: build the scale-path im2col by stacking taps on a MAJOR axis +
+# one explicit transpose, sidestepping the XLA lanes-on-taps layout
+# pathology that HBM-OOMs at some (batch, shape, tile) combos (see the
+# NOTE in _xcol_scale). Costs ~one extra dense HBM round-trip.
+
 UVP_BF16 = _os.environ.get("W2X_UVP_BF16", "") == "1"
 # opt-in: feed the fused-u8 kernel's polyphase U/V input as bf16. The
 # uvp window has 8 lanes, which Mosaic pads to a 128-lane vreg granule:
@@ -633,16 +639,21 @@ def _xcol_scale(ylow, tr, tc):
     yp = jnp.pad(ylow, ((0, 0), (4, 4 + hp - hl), (4, 14 + wp - wl)),
                  mode="edge")
     # taps in (dy, dx) row-major order (pack_l1_scale). NOTE on the build
-    # form: this 9-slice stack is the fastest variant measured (1.4 ms vs
-    # 5.4 for conv_general_dilated_patches and a catastrophic in-context
-    # slowdown for .at[].set lane updates), but XLA's layout assignment
-    # has picked a lanes-on-the-taps-dim layout for the tap temporaries at
-    # one specific shape (batch 4, 1080p: 128x padding per tap -> HBM
-    # OOM). Callers that hit such a shape should adjust batch/banding
-    # (bench.py mixed64 runs 1080p at batch 8, which compiles densely).
+    # form: the 9-slice last-axis stack is the fastest variant measured
+    # (1.4 ms vs 5.4 for conv_general_dilated_patches and a catastrophic
+    # in-context slowdown for .at[].set lane updates), but XLA's layout
+    # assignment sometimes picks a lanes-on-the-taps-dim layout for the
+    # tap temporaries (128x padding per tap -> HBM OOM). That choice is
+    # (batch, shape, tile)-dependent: reproduced at batch-4 1080p and at
+    # batch-8 720p with both (56,128) and (48,160) tiles. XCOL_SAFE
+    # stacks on a MAJOR axis instead (taps can never become the minor
+    # dim) and pays one explicit dense transpose.
     taps = [yp[:, dy:hp + 6 + dy, dx:wp + 16 + dx]
             for dy in range(3) for dx in range(3)]
-    x = jnp.stack(taps, axis=-1)
+    if XCOL_SAFE:
+        x = jnp.moveaxis(jnp.stack(taps, axis=1), 1, -1)
+    else:
+        x = jnp.stack(taps, axis=-1)
     # pad to an (ny+1) x (nx+1) block grid (K1 assembles each overlapping
     # window from 4 neighboring blocks) and to 16 lanes
     return jnp.pad(x, ((0, 0), (0, (ny + 1) * tr - (hp + 6)),
