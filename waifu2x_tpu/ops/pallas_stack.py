@@ -613,13 +613,13 @@ def pick_tile(hl: int, wl: int, itemsize: int = 2) -> tuple[int, int]:
     stripe fetch."""
     budget = _MAX_CELLS * 2 // max(itemsize, 2)
     best = None
-    # Columns are pinned to 128: it is the only width with measured wins
-    # (wide tiles lose to spill pressure, docs/PERF.md), and tc=160 at
-    # some (batch, shape) combos flips _xcol_scale's tap temporaries into
-    # XLA's lanes-on-taps layout -> 128x-padded temps -> HBM OOM
-    # (reproduced at 720p batch 8; see the _xcol_scale NOTE).
+    # (A brief column pin to 128 was reverted: the mixed64 HBM OOM that
+    # motivated it reproduced at tc=128 too — the real cause is the XLA
+    # lanes-on-taps xcol layout, see XCOL_SAFE — while the pin cost
+    # non-128-multiple widths real pad work: 960-wide planes padded to
+    # 1024 = ns1080 146 -> 140.6 MP/s.)
     for tr in range(24, 129, 8):
-        for tc in (128,):
+        for tc in range(96, 161, 16):
             if (tr + 2) * (tc + 16) > budget:
                 continue
             ny, nx = -(-hl // tr), -(-wl // tc)
