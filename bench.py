@@ -190,11 +190,20 @@ def main() -> int:
 
     stream = max(1, args.stream)
     if args.workload == "mixed64":
+        # Bounded dispatch-ahead (like stream.StreamConverter): retire
+        # sub-batches more than `depth` behind the head so only a few
+        # batches' intermediates (xcol/uvp/u8, ~1-2 GB each at 1152-row
+        # bands) are ever live in HBM — an unbounded async queue over all
+        # 13 sub-batches exceeds the 16 GB chip (ResourceExhausted).
+        depth = 3
+
         def launch():
-            out = None
+            pending = []
             for x in mixed_batches:
-                out = step(x)
-            return out
+                pending.append(step(x))
+                if len(pending) > depth:
+                    sync(pending.pop(0))  # cheap: already pipelined-done
+            return pending[-1]
     elif stream > 1:
         # video-stream mode: a scan over frame batches compiles the steady
         # state into one program — one dispatch per `stream` batches, no
