@@ -503,7 +503,11 @@ def _run_stack(xcol, kp, tr, tc, ny, nx, spec, interpret=False,
     # the diag tile are ever read, so fetch exactly those (block grids of
     # 16-col / 8-row stripes over the same array; index maps point at the
     # neighbor tile's leading stripe). Requires tr % 8 == tc % 16 == 0.
-    narrow = tr % 8 == 0 and tc % 16 == 0
+    # W2X_NARROW=0 kills the stripes (diagnostic knob; the stripes
+    # measured +0.3% on scale512 and are innocent of the batch-8-1080p
+    # HBM OOM, which was per-dispatch pixel volume — pipeline.BAND_PX).
+    narrow = (tr % 8 == 0 and tc % 16 == 0
+              and _os.environ.get("W2X_NARROW", "1") == "1")
     cb, rb = tc // 16, tr // 8
 
     def _xblk_right():
@@ -643,11 +647,11 @@ def _xcol_scale(ylow, tr, tc):
     # (1.4 ms vs 5.4 for conv_general_dilated_patches and a catastrophic
     # in-context slowdown for .at[].set lane updates), but XLA's layout
     # assignment sometimes picks a lanes-on-the-taps-dim layout for the
-    # tap temporaries (128x padding per tap -> HBM OOM). That choice is
-    # (batch, shape, tile)-dependent: reproduced at batch-4 1080p and at
-    # batch-8 720p with both (56,128) and (48,160) tiles. XCOL_SAFE
-    # stacks on a MAJOR axis instead (taps can never become the minor
-    # dim) and pays one explicit dense transpose.
+    # tap temporaries (128x padding per tap -> HBM OOM; seen at batch-4
+    # unbanded 1080p). XCOL_SAFE stacks on a MAJOR axis instead (taps can
+    # never become the minor dim) and pays one explicit dense transpose
+    # (~0.4% on scale512). NOTE the batch-8 1080p mixed64 OOM was NOT
+    # this: it was per-dispatch pixel volume (pipeline.BAND_PX).
     taps = [yp[:, dy:hp + 6 + dy, dx:wp + 16 + dx]
             for dy in range(3) for dx in range(3)]
     if XCOL_SAFE:

@@ -236,6 +236,14 @@ BAND_ROWS = 1152     # low-res rows per banded dispatch (large frames).
 #                      buffer (~2.4 kB/low-res px), which the single fused
 #                      kernel eliminated — what remains in HBM per band is
 #                      the 16-lane im2col + u8 out (~100 B/low-res px).
+BAND_PX = 2 * 1152 * 3840   # low-res px per dispatch, batch included —
+#                      the largest validated dispatch (stream4k: batch 2,
+#                      1152-row 4K bands). Rows alone don't bound HBM:
+#                      batch-8 UNBANDED 1080p (16.6 M px) reproducibly
+#                      ResourceExhausts the 16 GB chip once the im2col/uvp
+#                      build temporaries are counted, while the same frames
+#                      in two ~548-row bands run fine. scale2x_batch_u8_fused
+#                      therefore caps rows at BAND_PX / (batch * width).
 _BAND_HALO = 4       # one-sided receptive radius of the whole 2x step
 
 
@@ -255,6 +263,9 @@ def scale2x_batch_u8_fused(yuv: jax.Array, fast: FastStack,
     ps = _fast_import()
     n, h, w, _ = yuv.shape
     dtype = jnp.dtype(fast.dtype).type
+    # per-dispatch HBM cap counts the batch too (see BAND_PX): wide/batched
+    # frames band even below `band_rows`
+    band_rows = max(64, min(band_rows, BAND_PX // max(1, n * w)))
     if h <= band_rows:
         tile = fast.tile or ps.pick_tile(h, w, jnp.dtype(fast.dtype).itemsize)
         return _fused_step(yuv, fast.kp, tile, fast.spec, fast.interpret,
