@@ -606,28 +606,29 @@ _MAX_CELLS = (64 + 2) * (128 + 16)
 def pick_tile(hl: int, wl: int, itemsize: int = 2) -> tuple[int, int]:
     """Choose an (rows, cols) s2d tile for an hl x wl low-res image.
 
-    The search is restricted to stripe-fetch-aligned tiles (tr % 8 == 0,
-    tc % 16 == 0 — the `narrow` condition in _run_stack) so the 4x-cheaper
-    stripe-block neighbor fetches stay on at every image shape, and
-    minimizes total kernel work — grid padding (ceil to tile multiples)
+    Minimizes total kernel work — grid padding (ceil to tile multiples)
     plus the per-tile halo (+4.5 rows avg across K1/K2 layers, +8 compute
-    columns) — under the VMEM cell budget. For 512-multiples this returns
-    the measured-best (64, 128); alignment costs at most a few %% of
-    grid-pad waste vs the old unaligned search, far less than losing the
-    stripe fetch."""
+    columns) — under the VMEM cell budget, over even rows and mult-of-8
+    columns. Stripe-fetch-aligned tiles (tr % 8 == 0, tc % 16 == 0, the
+    `narrow` condition in _run_stack) get a small work discount: the
+    stripes measured +0.3%% on scale512, so alignment should win ties but
+    never buy more than ~1%% of grid-pad waste (forcing alignment cost
+    ns1080 2-4%% — 1080/18 = 60-row tiles beat any mult-of-8 pick there).
+    For 512-multiples this returns the measured-best (64, 128)."""
     budget = _MAX_CELLS * 2 // max(itemsize, 2)
     best = None
     # (A brief column pin to 128 was reverted: the mixed64 HBM OOM that
-    # motivated it reproduced at tc=128 too — the real cause is the XLA
-    # lanes-on-taps xcol layout, see XCOL_SAFE — while the pin cost
-    # non-128-multiple widths real pad work: 960-wide planes padded to
-    # 1024 = ns1080 146 -> 140.6 MP/s.)
-    for tr in range(24, 129, 8):
-        for tc in range(96, 161, 16):
+    # motivated it was per-dispatch pixel volume — pipeline.BAND_PX —
+    # while the pin cost non-128-multiple widths real pad work: 960-wide
+    # planes padded to 1024 = ns1080 146 -> 140.6 MP/s.)
+    for tr in range(24, 129, 2):
+        for tc in range(96, 161, 8):
             if (tr + 2) * (tc + 16) > budget:
                 continue
             ny, nx = -(-hl // tr), -(-wl // tc)
             work = ny * nx * (tr + 4.5) * (tc + 8)
+            if tr % 8 == 0 and tc % 16 == 0:
+                work *= 0.997                     # stripe-fetch discount
             if best is None or work < best[0]:
                 best = (work, tr, tc)
     return best[1], best[2]
