@@ -301,6 +301,9 @@ def noise_batch_fast(yuv: jax.Array, fast: FastStack,
     bands (full-res rows; 16-row overlap covers the 7-px receptive radius
     on even s2d boundaries) to bound the per-dispatch HBM footprint."""
     n, h, w, _ = yuv.shape
+    # same per-dispatch volume cap as the scale step (BAND_PX is in
+    # low-res px; the noise path's rows are full-res, hence the 4x)
+    band_rows = max(128, min(band_rows, 2 * (2 * BAND_PX // max(1, n * w))))
     if h <= band_rows or h % 2:   # odd heights: keep s2d parity, no banding
         y = fast.noise(yuv[..., 0])
         return yuv.at[..., 0].set(y.astype(yuv.dtype))
