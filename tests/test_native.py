@@ -101,3 +101,19 @@ def test_imread_odd_formats(tmp_path, rng):
     for p in (p16, pg, pp):
         a = w2x_io.imread_bgr(p)
         assert a.shape == (20, 24, 3) and a.dtype == np.uint8
+
+
+def test_io_flatten_white_fallback(rng):
+    """io.flatten_white: numpy fallback == native == the Lua formula
+    c*a + (1-a) on the unit scale (image_loader.lua:23-33)."""
+    bgra = rng.integers(0, 256, (7, 5, 4), np.uint8)
+    a = bgra[..., 3:4].astype(np.float64) / 255.0
+    ref_f = bgra[..., :3].astype(np.float64) / 255.0 * a + (1.0 - a)
+    ref = np.round(ref_f * 255.0).astype(np.uint8)
+    got = w2x_io.flatten_white(bgra)
+    assert np.array_equal(got, ref)
+    # opaque pixels pass through; fully transparent become white
+    opaque = np.dstack([bgra[..., :3], np.full((7, 5), 255, np.uint8)])
+    assert np.array_equal(w2x_io.flatten_white(opaque), bgra[..., :3])
+    clear = np.dstack([bgra[..., :3], np.zeros((7, 5), np.uint8)])
+    assert (w2x_io.flatten_white(clear) == 255).all()

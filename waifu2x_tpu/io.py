@@ -81,6 +81,23 @@ def imread_batch_bgr(paths: list[str], jobs: int = 4) -> list[np.ndarray]:
             for p, r in zip(paths, results)]
 
 
+def flatten_white(bgra_u8: np.ndarray) -> np.ndarray:
+    """Composite a uint8 BGRA image onto a white background -> uint8 BGR:
+    c' = c*a + (1-a) on the unit scale, the original waifu2x loader's alpha
+    handling (appendix/waifu2x-nocuda/lib/image_loader.lua:23-33). Native
+    C++ fast path (w2x_flatten_white) when built; numpy twin otherwise —
+    both round to nearest on the byte scale."""
+    if bgra_u8.ndim != 3 or bgra_u8.shape[2] != 4:
+        raise ValueError(f"expected BGRA, got shape {bgra_u8.shape}")
+    if native.available():
+        out = native.flatten_white(bgra_u8)
+        if out is not None:
+            return out
+    c = bgra_u8[:, :, :3].astype(np.uint32)
+    a = bgra_u8[:, :, 3:4].astype(np.uint32)
+    return ((c * a + 255 * (255 - a) + 127) // 255).astype(np.uint8)
+
+
 def imwrite_bgr(path: str, img_bgr_u8: np.ndarray) -> None:
     """Write a uint8 BGR (or BGRA) image (cv::imwrite, main.cpp:190)."""
     if (path.lower().endswith(".png") and native.available()
