@@ -177,3 +177,26 @@ def test_zoo_prefers_shipped_demo_weights(tmp_path):
     assert got == demo  # copied from the demo, not an identity placeholder
     ident = json.load(open(tmp_path / "noise2_model.json"))
     assert ident != demo  # no demo shipped for this one -> placeholder
+
+
+def test_cli_alpha_flatten(tmp_path, rng):
+    spec = ModelSpec.from_widths([1, 3, 1])
+    model_dir = str(tmp_path / "models")
+    _write_models(model_dir, spec)
+    src = str(tmp_path / "rgba.png")
+    rgba = rng.integers(0, 256, (12, 12, 4), dtype=np.uint8)
+    w2x_io.imwrite_bgr(src, rgba)
+    dst = str(tmp_path / "out.png")
+    rc = main(["-i", src, "-o", dst, "-m", "scale", "--alpha", "flatten",
+               "--model_dir", model_dir])
+    assert rc == 0
+    out = w2x_io.imread_bgr(dst)
+    assert out.shape == (24, 24, 3)  # flattened: no alpha in the output
+    # the converted image is the conversion OF the flattened input
+    flat = str(tmp_path / "flat.png")
+    w2x_io.imwrite_bgr(flat, w2x_io.flatten_white(rgba))
+    dst2 = str(tmp_path / "out2.png")
+    rc = main(["-i", flat, "-o", dst2, "-m", "scale",
+               "--model_dir", model_dir])
+    assert rc == 0
+    assert np.array_equal(out, w2x_io.imread_bgr(dst2))

@@ -61,11 +61,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="auto = float32 XLA path / bfloat16 Pallas kernels "
                         "(f32 accumulation); explicit values are honored "
                         "on both paths")
-    p.add_argument("--pallas", action="store_true",
-                   help="use the fused Pallas conv kernel (TPU only)")
-    p.add_argument("--alpha", default="ignore", choices=["ignore", "bicubic"],
-                   help="alpha channel: drop (reference behavior) or "
-                        "bicubic-resample it alongside")
+    p.add_argument("--pallas", nargs="?", const="on", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="fused Pallas conv kernels: 'auto' (default) "
+                        "enables them on TPU for the flagship 7-layer "
+                        "model; 'on' forces them (interpret mode off-TPU, "
+                        "slow); 'off' always uses the XLA path")
+    p.add_argument("--alpha", default="ignore",
+                   choices=["ignore", "bicubic", "flatten"],
+                   help="alpha channel: drop it (reference behavior), "
+                        "bicubic-resample it alongside, or flatten onto a "
+                        "white background before processing (the original "
+                        "Lua loader's behavior, image_loader.lua:23-33)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace to DIR")
     p.add_argument("--device", default="auto", choices=["auto", "cpu"],
@@ -87,7 +94,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         tile_size=args.tile_size,
         precision=args.precision,
         compute_dtype=args.compute_dtype,
-        use_pallas=args.pallas,
+        use_pallas={"auto": "auto", "on": True, "off": False}[args.pallas],
         alpha=args.alpha,
     )
 
@@ -104,7 +111,7 @@ def main(argv: list[str] | None = None) -> int:
             jax.config.update("jax_platforms", "cpu")
         except RuntimeError:
             log.warning("--device cpu: backend already initialized")
-        if args.pallas:
+        if args.pallas == "on":
             log.warning("--pallas on CPU runs the kernels in interpret "
                         "mode (slow; intended for debugging)")
 
@@ -163,6 +170,10 @@ def main(argv: list[str] | None = None) -> int:
                 bgra = w2x_io.imread_bgra(path)
                 if bgra is not None:
                     alpha = bgra[:, :, 3]
+            elif cfg.alpha == "flatten":
+                bgra = w2x_io.imread_bgra(path)
+                if bgra is not None:
+                    img = w2x_io.flatten_white(bgra)
 
             out = converter.process_bgr_u8(img)
             if alpha is not None:

@@ -26,10 +26,18 @@ class Config:
     #   float32 on the XLA path, bfloat16 activations (f32 tap accumulation)
     #   in the fused Pallas kernels — each path's measured fidelity/perf
     #   point (docs/PERF.md; the bf16 kernels hold 51.4 dB >= the 50 bar)
-    use_pallas: bool = False           # fused Pallas conv stack on TPU
+    use_pallas: "bool | str" = "auto"  # fused Pallas conv stack: True |
+    #   False | "auto". "auto" enables the fused kernels when a TPU is
+    #   present AND the model matches the flagship 7-layer architecture
+    #   (the kernels' compiled shape); anything else falls back to the
+    #   XLA path. True forces them even off-TPU (interpret mode, slow —
+    #   debugging only); an unsupported architecture still falls back.
     tile_size: int = 512               # device tile size for batched tiling
     batch_tiles: int = 8               # tiles batched per device step
-    alpha: str = "ignore"              # ignore | bicubic (hints-jp.md:76-81)
+    alpha: str = "ignore"              # ignore (reference: IMREAD_COLOR
+    #   drops alpha, main.cpp:74) | bicubic (resample alpha alongside,
+    #   hints-jp.md:76-81) | flatten (composite onto white before
+    #   processing, the original Lua loader: image_loader.lua:23-33)
 
     def __post_init__(self):
         if self.mode not in ("noise", "scale", "noise_scale"):
@@ -45,6 +53,10 @@ class Config:
         if self.compute_dtype not in ("auto", "float32", "bfloat16"):
             raise ValueError(
                 f"invalid compute_dtype: {self.compute_dtype!r}")
+        if self.use_pallas not in (True, False, "auto"):
+            raise ValueError(f"invalid use_pallas: {self.use_pallas!r}")
+        if self.alpha not in ("ignore", "bicubic", "flatten"):
+            raise ValueError(f"invalid alpha: {self.alpha!r}")
 
     def with_block_size_exp2_square(self, exp: int) -> "Config":
         """Power-of-two square block helper, mirroring

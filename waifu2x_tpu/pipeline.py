@@ -22,7 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from waifu2x_tpu.config import Config
-from waifu2x_tpu.models.srcnn import validate_params
+from waifu2x_tpu.models.srcnn import WAIFU2X_7LAYER, validate_params
+from waifu2x_tpu.utils.logging import get_logger
 from waifu2x_tpu.models.weights import load_model_json, model_file_for
 from waifu2x_tpu.ops.color import (
     bgr_to_yuv,
@@ -40,6 +41,8 @@ from waifu2x_tpu.ops.resize import (
 )
 from waifu2x_tpu.ops.s2d import d2s, d2s_host
 from waifu2x_tpu.parallel.tiles import plan_tiles, tiled_convert
+
+log = get_logger("pipeline")
 
 
 def scale_plan(scale_ratio: float) -> tuple[int, float]:
@@ -156,7 +159,20 @@ class FastStack:
     @classmethod
     def build(cls, params, scale_input: bool, tile=None,
               interpret: bool = False, dtype=jnp.bfloat16) -> "FastStack":
-        """tile=None picks a per-image-shape tile (pallas_stack.pick_tile)."""
+        """tile=None picks a per-image-shape tile (pallas_stack.pick_tile).
+
+        Raises ValueError for any architecture other than the flagship
+        7-layer spec: the fused kernels bake its widths into their VMEM
+        scratch shapes and weight packings. Arbitrary architectures (the
+        reference loader accepts any layer count/widths,
+        modelHandler.cpp:170-197) run via the XLA path — `_build_fast`
+        below performs that fallback for the pipeline entry points."""
+        spec = validate_params(params)
+        if spec != WAIFU2X_7LAYER:
+            raise ValueError(
+                f"fused Pallas kernels support only the flagship 7-layer "
+                f"architecture (widths 1/32/32/64/64/128/128/1, 3x3); got "
+                f"{[l.cout for l in spec.layers]} — use the XLA path")
         ps = _fast_import()
         kp, spec = ps.prep_params(params, scale_input, dtype=dtype)
         # off-TPU the kernels run through the Pallas interpreter (tests, CI);
@@ -286,11 +302,31 @@ def scale2x_batch_u8_fused(yuv: jax.Array, fast: FastStack,
     return jnp.concatenate(outs, axis=1)
 
 
-def scale2x_batch_fast(yuv: jax.Array, fast: FastStack) -> jax.Array:
+def scale2x_batch_fast(yuv: jax.Array, fast: FastStack,
+                       band_rows: int = BAND_ROWS) -> jax.Array:
     """Fast-path twin of scale2x_batch: f32 YUV [N,h,w,3] -> [N,2h,2w,3]
-    (device-side interleave; used when further scale iterations follow)."""
-    s2d_out = scale2x_yuv_s2d(yuv, fast)
-    n, h, w = s2d_out.shape[:3]
+    (device-side interleave; used when further scale iterations follow).
+
+    Subject to the same per-dispatch pixel-volume cap (BAND_PX) as the u8
+    path: tall/batched frames run in row bands so the im2col/phase
+    temporaries stay inside HBM for any user-supplied image size."""
+    n, h, w, _ = yuv.shape
+    band_rows = max(64, min(band_rows, BAND_PX // max(1, n * w)))
+    if h <= band_rows:
+        s2d_out = scale2x_yuv_s2d(yuv, fast)
+        return d2s(s2d_out.reshape(n, h, w, 12))
+    k = _BAND_HALO
+    n_bands = -(-h // band_rows)
+    rows = -(-h // n_bands)
+    size = min(h, rows + 2 * k)
+    outs = []
+    for b0 in range(0, h, rows):
+        nrows = min(rows, h - b0)
+        s = min(max(0, b0 - k), h - size)
+        out = scale2x_yuv_s2d(
+            jax.lax.dynamic_slice_in_dim(yuv, s, size, axis=1), fast)
+        outs.append(out[:, b0 - s:b0 - s + nrows])
+    s2d_out = jnp.concatenate(outs, axis=1)
     return d2s(s2d_out.reshape(n, h, w, 12))
 
 
@@ -304,21 +340,49 @@ def noise_batch_fast(yuv: jax.Array, fast: FastStack,
     # same per-dispatch volume cap as the scale step (BAND_PX is in
     # low-res px; the noise path's rows are full-res, hence the 4x)
     band_rows = max(128, min(band_rows, 2 * (2 * BAND_PX // max(1, n * w))))
-    if h <= band_rows or h % 2:   # odd heights: keep s2d parity, no banding
+    if h <= band_rows:
         y = fast.noise(yuv[..., 0])
         return yuv.at[..., 0].set(y.astype(yuv.dtype))
+    y_in = yuv[..., 0]
+    if h % 2:   # pad odd heights to even so bands keep s2d parity
+        y_in = jnp.pad(y_in, ((0, 0), (0, 1), (0, 0)), mode="edge")
+    he = y_in.shape[1]
     k = 8
-    n_bands = -(-h // band_rows)
-    rows = 2 * (-(-h // (2 * n_bands)))      # even band heights
-    size = min(h, rows + 2 * k)
+    n_bands = -(-he // band_rows)
+    rows = 2 * (-(-he // (2 * n_bands)))     # even band heights
+    size = min(he, rows + 2 * k)
     parts = []
-    for b0 in range(0, h, rows):
-        nrows = min(rows, h - b0)
-        s = min(max(0, b0 - k), h - size)
+    for b0 in range(0, he, rows):
+        nrows = min(rows, he - b0)
+        s = min(max(0, b0 - k), he - size)
         y = fast.noise(
-            jax.lax.dynamic_slice_in_dim(yuv[..., 0], s, size, axis=1))
+            jax.lax.dynamic_slice_in_dim(y_in, s, size, axis=1))
         parts.append(y[:, b0 - s:b0 - s + nrows].astype(yuv.dtype))
-    return yuv.at[..., 0].set(jnp.concatenate(parts, axis=1))
+    return yuv.at[..., 0].set(jnp.concatenate(parts, axis=1)[:, :h])
+
+
+def _build_fast(params, scale_input: bool, cfg: Config) -> "FastStack | None":
+    """Resolve cfg.use_pallas to a FastStack or None (XLA path).
+
+    "auto" (the default) enables the fused kernels when a TPU backend is
+    present; True forces them anywhere (interpret mode off-TPU). Either
+    way an architecture the kernels can't compile falls back to the XLA
+    path with a logged warning instead of crashing — the reference loader
+    accepts arbitrary layer counts/widths (modelHandler.cpp:170-197) and
+    so does our XLA path."""
+    want = cfg.use_pallas
+    if want is False:
+        return None
+    if want == "auto":
+        if not any("TPU" in d.device_kind for d in jax.devices()):
+            return None
+    try:
+        return FastStack.build(params, scale_input=scale_input,
+                               dtype=_kernel_dtype(cfg))
+    except ValueError as e:
+        log.warning("fused Pallas path unavailable (%s); using the XLA "
+                    "path", e)
+        return None
 
 
 @jax.jit
@@ -346,26 +410,23 @@ class Converter:
     def from_config(cls, cfg: Config) -> "Converter":
         noise_params = scale_params = None
         fast_noise = fast_scale = None
-        kdtype = _kernel_dtype(cfg)
         if cfg.mode in ("noise", "noise_scale"):
             noise_params = load_model_json(
                 model_file_for(cfg.model_dir, True, cfg.noise_level))
-            if cfg.use_pallas:
-                fast_noise = FastStack.build(noise_params, scale_input=False,
-                                             dtype=kdtype)
+            fast_noise = _build_fast(noise_params, False, cfg)
         if cfg.mode in ("scale", "noise_scale"):
             scale_params = load_model_json(model_file_for(cfg.model_dir, False))
-            if cfg.use_pallas:
-                fast_scale = FastStack.build(scale_params, scale_input=True,
-                                             dtype=kdtype)
+            fast_scale = _build_fast(scale_params, True, cfg)
         return cls(cfg, noise_params, scale_params, fast_noise, fast_scale)
 
     def process_yuv(self, yuv: jax.Array) -> jax.Array:
         cfg = self.cfg
         if self.noise_params is not None:
             if self.fast_noise is not None:
-                y = self.fast_noise.noise(yuv[None, :, :, 0])[0]
-                yuv = yuv.at[:, :, 0].set(y.astype(yuv.dtype))
+                # noise_batch_fast applies the BAND_PX per-dispatch volume
+                # cap — a single 8K image through the public API must take
+                # the same banded path as the batch pipelines
+                yuv = noise_batch_fast(yuv[None], self.fast_noise)[0]
             else:
                 yuv = _noise_phase(yuv, self.noise_params, cfg)
         if self.scale_params is not None:
@@ -413,13 +474,9 @@ def convert_image(bgr_u8: np.ndarray, cfg: Config,
     fast_noise = fast_scale = None
     if noise_params is not None:
         validate_params(noise_params)
-        if cfg.use_pallas:
-            fast_noise = FastStack.build(noise_params, scale_input=False,
-                                         dtype=_kernel_dtype(cfg))
+        fast_noise = _build_fast(noise_params, False, cfg)
     if scale_params is not None:
         validate_params(scale_params)
-        if cfg.use_pallas:
-            fast_scale = FastStack.build(scale_params, scale_input=True,
-                                         dtype=_kernel_dtype(cfg))
+        fast_scale = _build_fast(scale_params, True, cfg)
     conv = Converter(cfg, noise_params, scale_params, fast_noise, fast_scale)
     return conv.process_bgr_u8(bgr_u8)
