@@ -2,14 +2,20 @@
 
 The reference processes one image per process invocation; production TPU
 serving wants a pipeline: host decode (native C++ thread pool when built),
-device conversion (the fused polyphase 2x step), host interleave + encode —
+device conversion (the fused polyphase kernels), host interleave + encode —
 with the device kept busy by dispatch-ahead double buffering (JAX dispatch
 is asynchronous: batch i+1 is enqueued before batch i's result is read
 back, so host work overlaps device work).
 
-Frames in a batch share one compiled program (static shapes); a stream of
-equally-sized video frames therefore runs at steady-state kernel throughput
-with no recompiles.
+Frames sharing a geometry share one compiled program (static shapes); a
+stream of equally-sized video frames runs at steady-state kernel throughput
+with no recompiles. Mixed-size streams are grouped by shape: each distinct
+geometry gets its own batch buffer and compiled program, per-shape batch
+sizes are capped by the same per-dispatch pixel-volume rule as the banded
+kernels (pipeline.BAND_PX), and outputs are re-ordered to input order.
+
+Modes mirror the reference CLI (main.cpp:82-169): "scale" (2x), "noise"
+(denoise only), "noise_scale" (denoise then 2x).
 """
 
 from __future__ import annotations
@@ -22,9 +28,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from waifu2x_tpu import io as w2x_io
-from waifu2x_tpu.ops.color import bgr_to_yuv, u8_to_unit_f32
+from waifu2x_tpu.ops.color import (
+    bgr_to_yuv,
+    saturate_cast_u8,
+    u8_to_unit_f32,
+    yuv_to_bgr,
+)
 from waifu2x_tpu.ops.s2d import d2s_host_cmajor
-from waifu2x_tpu.pipeline import FastStack, scale2x_batch_u8_fused
+from waifu2x_tpu.pipeline import (
+    BAND_PX,
+    FastStack,
+    noise_batch_fast,
+    scale2x_batch_u8_fused,
+)
 from waifu2x_tpu.train.checkpoint import load_frame_cursor, save_frame_cursor
 
 
@@ -33,58 +49,117 @@ def _to_yuv_batch(bgr_u8: jax.Array) -> jax.Array:
     return bgr_to_yuv(u8_to_unit_f32(bgr_u8))
 
 
+@jax.jit
+def _to_bgr_u8_batch(yuv: jax.Array) -> jax.Array:
+    return saturate_cast_u8(yuv_to_bgr(yuv))
+
+
 @dataclasses.dataclass
 class StreamConverter:
-    """2x-upscale stream processor over the fused Pallas path.
+    """Stream processor over the fused Pallas path.
 
-    fast:  device-ready FastStack (scale model).
-    batch: frames per device dispatch (throughput knob).
-    depth: dispatch-ahead depth (>=1; 2 overlaps host and device work).
+    fast:       device-ready FastStack (scale model; None for mode="noise").
+    batch:      frames per device dispatch (throughput knob; per-shape
+                batches are additionally capped by pixel volume).
+    depth:      dispatch-ahead depth (>=1; 2 overlaps host & device work).
+    fast_noise: FastStack (noise model) for mode "noise"/"noise_scale".
+    mode:       scale | noise | noise_scale (reference main.cpp modes).
     """
 
-    fast: FastStack
+    fast: "FastStack | None"
     batch: int = 8
     depth: int = 2
+    fast_noise: "FastStack | None" = None
+    mode: str = "scale"
+
+    def __post_init__(self):
+        if self.mode not in ("scale", "noise", "noise_scale"):
+            raise ValueError(f"invalid mode: {self.mode!r}")
+        if self.mode != "noise" and self.fast is None:
+            raise ValueError(f"mode {self.mode!r} needs a scale FastStack")
+        if self.mode != "scale" and self.fast_noise is None:
+            raise ValueError(f"mode {self.mode!r} needs a noise FastStack")
+
+    # -- per-shape batching ------------------------------------------------
+
+    def _shape_batch(self, h: int, w: int) -> int:
+        """Per-dispatch frame cap for one geometry: the same pixel-volume
+        bound the banded kernels use (pipeline.BAND_PX; the scale paths
+        band rows once a dispatch exceeds it — capping the batch keeps
+        large-frame dispatches at whole frames where possible)."""
+        vol = 4 * BAND_PX if self.mode == "noise" else 2 * BAND_PX
+        return max(1, min(self.batch, vol // max(1, h * w)))
+
+    def _step(self, yuv: jax.Array) -> jax.Array:
+        if self.mode == "noise":
+            return _to_bgr_u8_batch(noise_batch_fast(yuv, self.fast_noise))
+        if self.mode == "noise_scale":
+            yuv = noise_batch_fast(yuv, self.fast_noise)
+        return scale2x_batch_u8_fused(yuv, self.fast)
+
+    def _interleave(self, out: np.ndarray) -> np.ndarray:
+        # scale outputs are channel-major polyphase u8 (zero-flop host
+        # interleave); noise outputs are already raster BGR
+        return out if self.mode == "noise" else d2s_host_cmajor(out)
+
+    def _dispatch(self, frames: Sequence[np.ndarray], nbatch: int):
+        n = len(frames)
+        arr = np.stack(frames)
+        if n < nbatch:  # pad the tail batch to the compiled shape
+            arr = np.concatenate(
+                [arr, np.repeat(arr[-1:], nbatch - n, axis=0)])
+        return self._step(_to_yuv_batch(jnp.asarray(arr))), n
+
+    # -- ordered streaming -------------------------------------------------
 
     def process_frames(self, frames: Iterable[np.ndarray]
                        ) -> Iterator[np.ndarray]:
-        """u8 BGR frames [h, w, 3] (equal sizes) -> u8 BGR [2h, 2w, 3]
-        frames, in order, processed in device batches with dispatch-ahead.
+        """u8 BGR frames [h, w, 3] -> converted u8 BGR frames, in input
+        order. Sizes may differ across frames: each distinct geometry is
+        batched separately (one compiled program per shape), dispatch-ahead
+        keeps the device busy, and outputs are re-ordered to input order.
         """
-        pending: list[tuple[jax.Array, int]] = []
+        bufs: dict[tuple, tuple[list[np.ndarray], list[int]]] = {}
+        pending: list[tuple[jax.Array, int, list[int]]] = []
+        ready: dict[int, np.ndarray] = {}
+        next_out = 0
 
-        def flush(entry):
-            out_s2d, n_valid = entry
-            host = d2s_host_cmajor(np.asarray(out_s2d))
-            for k in range(n_valid):
-                yield host[k]
+        def retire(entry):
+            out_dev, n_valid, seqs = entry
+            host = self._interleave(np.asarray(out_dev))
+            for k, seq in enumerate(seqs[:n_valid]):
+                ready[seq] = host[k]
 
-        buf: list[np.ndarray] = []
-        for frame in frames:
+        def drain():
+            nonlocal next_out
+            while next_out in ready:
+                yield ready.pop(next_out)
+                next_out += 1
+
+        for seq, frame in enumerate(frames):
+            key = frame.shape
+            buf, seqs = bufs.setdefault(key, ([], []))
             buf.append(frame)
-            if len(buf) == self.batch:
-                pending.append(self._dispatch(buf))
-                buf = []
+            seqs.append(seq)
+            if len(buf) >= self._shape_batch(*key[:2]):
+                pending.append((*self._dispatch(buf, len(buf)), seqs))
+                bufs[key] = ([], [])
                 if len(pending) > self.depth:
-                    yield from flush(pending.pop(0))
-        if buf:
-            pending.append(self._dispatch(buf))
+                    retire(pending.pop(0))
+                    yield from drain()
+        for key, (buf, seqs) in bufs.items():
+            if buf:  # tail batches, padded to their shape's compiled size
+                pending.append(
+                    (*self._dispatch(buf, self._shape_batch(*key[:2])), seqs))
         for entry in pending:
-            yield from flush(entry)
-
-    def _dispatch(self, frames: Sequence[np.ndarray]):
-        n = len(frames)
-        arr = np.stack(frames)
-        if n < self.batch:  # pad the tail batch to the compiled shape
-            arr = np.concatenate(
-                [arr, np.repeat(arr[-1:], self.batch - n, axis=0)])
-        yuv = _to_yuv_batch(jnp.asarray(arr))
-        return scale2x_batch_u8_fused(yuv, self.fast), n
+            retire(entry)
+        yield from drain()
+        assert not ready, "stream re-ordering left frames behind"
 
     def process_paths(self, paths: Sequence[str], out_paths: Sequence[str],
                       jobs: int = 4, checkpoint: str | None = None) -> None:
-        """Convert image files (equal dimensions): threaded native decode,
-        batched device conversion, PNG encode.
+        """Convert image files: threaded native decode, batched device
+        conversion, PNG encode.
 
         checkpoint: optional cursor-file path. The stream is stateless and
         strictly ordered, so resumability is just a frame index: after each
