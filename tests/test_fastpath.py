@@ -150,6 +150,29 @@ def test_fused_u8_bf16_uvp_close(fast, rng):
     assert diff.max() <= 2 and psnr >= 55.0, (diff.max(), psnr)
 
 
+def test_fused_u8_i16_uvp_near_exact(fast, rng, monkeypatch):
+    """int16 fixed-point uvp (the default W2X_UVP=i16 VMEM saver) must be
+    output-indistinguishable from f32 uvp: step 3.05e-5 -> <=0.016 of a u8
+    level through the YUV->BGR transform (only rounding ties can move)."""
+    from waifu2x_tpu.ops import pallas_stack as ps
+    from waifu2x_tpu.pipeline import _uv_phases_cmajor
+
+    yuv = jnp.asarray(rng.random((2, 18, 20, 3), dtype=np.float32))
+    tile = fast.tile or (16, 16)
+    uvp = _uv_phases_cmajor(yuv, tile)
+    ylow = yuv[..., 0].astype(fast.dtype)
+    monkeypatch.setattr(ps, "UVP_MODE", "f32")  # pin the f32 reference
+    a = np.asarray(ps.stack_scale_fused_u8(
+        ylow, uvp, fast.kp, fast.spec, tile, interpret=True))
+    b = np.asarray(ps.stack_scale_fused_u8(
+        ylow, ps._uvp_to_i16(uvp), fast.kp, fast.spec, tile,
+        interpret=True))
+    diff = np.abs(a.astype(int) - b.astype(int))
+    # only rounding ties can move, and only by one level (~76 dB-equiv)
+    assert diff.max() <= 1 and (diff != 0).mean() < 0.005, (
+        diff.max(), (diff != 0).mean())
+
+
 def test_scale2x_fast_banded_exact(fast, rng):
     """The f32-output fast path (used for chained scale iterations and the
     single-image API) applies the same BAND_PX row banding as the u8 path."""

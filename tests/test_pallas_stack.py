@@ -88,6 +88,38 @@ def test_l7_fold_equals_sel_path(kp, rng):
                                rtol=0, atol=1e-5)
 
 
+def test_l6_wino_equals_phase_sparse(kp, kp_noise, rng):
+    """Winograd-domain L6 (s2d.pack_wino; 16 full-K MXU passes vs 36)
+    must match the phase-sparse decomposition — same layer, different
+    factorization, so allclose rather than bit-equal. Both stack inputs
+    (scale and noise im2col) share the code path."""
+    from waifu2x_tpu.ops.pallas_stack import (
+        _run_stack,
+        _xcol_noise,
+        _xcol_scale,
+    )
+
+    ylow = jnp.asarray(rng.random((1, 32, 32), dtype=np.float32))
+    arrays, spec = kp
+    xcol = _xcol_scale(ylow, 16, 16)
+    a = _run_stack(xcol, arrays, 16, 16, 2, 2, spec, interpret=True,
+                   l6_wino=False)
+    b = _run_stack(xcol, arrays, 16, 16, 2, 2, spec, interpret=True,
+                   l6_wino=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=0, atol=1e-5)
+
+    y = jnp.asarray(rng.random((1, 32, 32), dtype=np.float32))
+    arrays_n, spec_n = kp_noise
+    xcoln = _xcol_noise(y, 16, 16)
+    an = _run_stack(xcoln, arrays_n, 16, 16, 1, 1, spec_n, interpret=True,
+                    l6_wino=False)
+    bn = _run_stack(xcoln, arrays_n, 16, 16, 1, 1, spec_n, interpret=True,
+                    l6_wino=True)
+    np.testing.assert_allclose(np.asarray(an), np.asarray(bn),
+                               rtol=0, atol=1e-5)
+
+
 def test_run_stack_rejects_wrong_lane_count(kp):
     """The kernel consumes 16-lane im2col blocks; any other lane depth
     breaks Mosaic block mapping on real TPU, so it must fail fast."""

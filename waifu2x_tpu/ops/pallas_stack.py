@@ -79,13 +79,32 @@ XCOL_SAFE = _os.environ.get("W2X_XCOL_SAFE", "") == "1"
 # pathology that HBM-OOMs at some (batch, shape, tile) combos (see the
 # NOTE in _xcol_scale). Costs ~one extra dense HBM round-trip.
 
-UVP_BF16 = _os.environ.get("W2X_UVP_BF16", "") == "1"
-# opt-in: feed the fused-u8 kernel's polyphase U/V input as bf16. The
-# uvp window has 8 lanes, which Mosaic pads to a 128-lane vreg granule:
-# at f32 x 2 buffering the window costs 16x its nominal bytes (16 MB at
-# a (64,256) tile — the single biggest input allocation). bf16 halves
-# that and the uvp HBM traffic; only U/V quantize (Y is untouched), so
-# the PSNR floor from U/V alone is ~58 dB. Big-tile fit experiments.
+UVP_MODE = _os.environ.get(
+    "W2X_UVP", "bf16" if _os.environ.get("W2X_UVP_BF16", "") == "1"
+    else "i16")
+# The fused-u8 kernel's polyphase U/V input has 8 lanes, which Mosaic
+# pads to a 128-lane vreg granule: at f32 x 2 buffering the window costs
+# 16x its nominal bytes (~8 MB at the default tile — the single biggest
+# input allocation). Narrowing it to 2 bytes halves that and the uvp HBM
+# traffic. Modes (W2X_UVP env; W2X_UVP_BF16=1 kept as a bf16 alias):
+#   i16 (default): fixed-point (v - 0.5) * 32767 over v in [-0.5, 1.5].
+#       Step 3.05e-5 -> <=0.016/255 of output error — measurably zero dB
+#       (U/V hold post-bicubic values in [0.5 +- ~0.52]); decoded to f32
+#       by two VPU ops in-kernel. Same speed as bf16, none of its cost.
+#   bf16: raw bf16 U/V — spends ~0.8 dB (50.82 vs 51.65 measured r1);
+#       kept for A/B comparisons only.
+#   f32: the round-1 default.
+
+L6_WINO = _os.environ.get("W2X_L6_WINO", "0") == "1"
+# opt-in (A/B experiment): run layer 6 (128->128, 54% of the stack's MXU
+# passes) via F(2x2,3x3) Winograd in the transformed domain
+# (s2d.pack_wino): 16 full-K MXU passes/cell instead of the phase-sparse
+# 36 (the 2.25x classic reduction), paid for with VPU shift-adds for the
+# 0/±1 input/output transforms and a 4-phase f32 accumulator scratch
+# (~19 MB at the default tile). Bit-level: not identical (different
+# summation order); equal within the usual f32 tolerance in interpret
+# tests, PSNR-neutral in bf16 (B^T entries are exact, G only touches
+# weights — same one-time rounding as the direct pack).
 
 L7_FOLD = _os.environ.get("W2X_L7_FOLD", "1") == "1"
 # default ON (opt-out W2X_L7_FOLD=0): fold the L7 selection into the tap
@@ -213,6 +232,7 @@ def pack_for_kernels(params, scale_input: bool) -> tuple[dict, tuple]:
     arrays["w2c"], spec4 = pack_pair_kernel(w[3])
     arrays["w5"], spec5 = pack_mid_kernel(w[4])
     arrays["w6"], spec6 = pack_mid_kernel(w[5])
+    arrays["w6w"] = s2d_ops.pack_wino(w[5])     # Winograd-domain L6
     return arrays, (spec3, spec4, spec5, spec6)
 
 
@@ -245,10 +265,10 @@ def _leaky(x):
     return jnp.maximum(x, 0) + jnp.float32(0.1) * jnp.minimum(x, 0)
 
 
-def _stack_body(tr, tc, cdtype, accdt, spec, fuse_u8, l7_fold, narrow, xa,
-                xb, xc, xd, l1_ref, b1_ref, w2a_ref, b2a_ref, w2b_ref,
-                b2b_ref, w2c_ref, b2c_ref, w5_ref, b5_ref, w6_ref, b6_ref,
-                blk_ref, sel_ref, blk2_ref, b7_ref, *rest):
+def _stack_body(tr, tc, cdtype, accdt, spec, fuse_u8, l7_fold, l6_wino,
+                narrow, xa, xb, xc, xd, l1_ref, b1_ref, w2a_ref, b2a_ref,
+                w2b_ref, b2b_ref, w2c_ref, b2c_ref, w5_ref, b5_ref, w6_ref,
+                b6_ref, w6w_ref, blk_ref, sel_ref, blk2_ref, b7_ref, *rest):
     """The whole 7-layer stack as ONE kernel body (uvp_ref present iff
     fuse_u8). Fusing K1+K2 keeps the X4 handoff in a VMEM scratch: storing
     a computed value into a pipelined HBM out block costs ~1.5 ms per 4
@@ -259,6 +279,7 @@ def _stack_body(tr, tc, cdtype, accdt, spec, fuse_u8, l7_fold, narrow, xa,
         uvp_ref, out_ref, *scr = rest
     else:
         out_ref, *scr = rest
+    yacc = scr.pop() if l6_wino else None
     if len(scr) == 8:
         xin, x1, x2, x3, x4, x5, zt, acc = scr
     elif len(scr) == 7:         # l1_direct: no xin assembly scratch
@@ -372,17 +393,8 @@ def _stack_body(tr, tc, cdtype, accdt, spec, fuse_u8, l7_fold, narrow, xa,
     # stay f32 (zt is the only intermediate the XLA path doesn't round to
     # bf16 — keeping it f32 preserves the stack's 54+ dB fidelity).
     rows = tr + 1
-    for p, entries in enumerate(spec6):
-        a = acc.at[0:rows, 0:wc, 0:128]
-        for g, (Dy, Dx, lanes, k0, klen) in enumerate(entries):
-            part = _dot3(_gather_k(x5, rows, wc, Dy, Dx, lanes),
-                         w6_ref[p, k0:k0 + klen, :], accdt)
-            if g == 0:
-                a[...] = part
-            else:
-                a[...] += part
-        x6p = _leaky(a[...] + b6_ref[0, p * 128:(p + 1) * 128].astype(accdt)
-                     ).astype(cdtype)
+
+    def l7_tap(p, x6p):
         if l7_fold:
             # tap partials land directly on output lanes s*4+q (see
             # s2d.pack_l7_fold), summed over phases in the f32 scratch
@@ -395,6 +407,63 @@ def _stack_body(tr, tc, cdtype, accdt, spec, fuse_u8, l7_fold, narrow, xa,
             zt[:, 0:wc, p * 16:(p + 1) * 16] = _dot3(
                 x6p, blk_ref[p * 128:(p + 1) * 128, p * 16:(p + 1) * 16]
             ).astype(zt.dtype)
+
+    if l6_wino:
+        # L6 in the Winograd F(2x2,3x3) domain (s2d.pack_wino): V[p] is a
+        # 4-term signed shift-add of x5's phase lane-blocks (B^T entries
+        # 0/±1 — exact in bf16), M[p] = V @ U[p] is ONE full-K MXU pass
+        # (16 total vs the phase-sparse 36), and the separable output
+        # transform (A^T ⊗ A^T) streams M into the 4 output phases of the
+        # f32 yacc scratch with 12 RMW passes.
+        from waifu2x_tpu.ops.s2d import _WINO_AT, _WINO_BT_TAPS
+        written = [False] * 4
+        for py in range(4):
+            ms = []
+            for px in range(4):
+                v = None
+                for (ty, sy) in _WINO_BT_TAPS[py]:
+                    for (tx, sx) in _WINO_BT_TAPS[px]:
+                        lb = ((ty % 2) * 2 + (tx % 2)) * 128
+                        t = x5[ty // 2:ty // 2 + rows,
+                               tx // 2:tx // 2 + wc, lb:lb + 128]
+                        if sy * sx < 0:
+                            v = -t if v is None else v - t
+                        else:
+                            v = t if v is None else v + t
+                ms.append(_dot3(v, w6w_ref[py * 4 + px], jnp.float32))
+            nb0 = ms[0] + ms[1] + ms[2]          # A^T row 0 = [1, 1, 1, 0]
+            nb1 = ms[1] - ms[2] - ms[3]          # A^T row 1 = [0, 1,-1,-1]
+            for A in (0, 1):
+                ca = _WINO_AT[A][py]
+                if ca == 0.0:
+                    continue
+                for B, nb in ((0, nb0), (1, nb1)):
+                    q = A * 2 + B
+                    blk_q = yacc.at[0:rows, 0:wc, q * 128:(q + 1) * 128]
+                    val = nb if ca > 0 else -nb
+                    if written[q]:
+                        blk_q[...] += val
+                    else:
+                        blk_q[...] = val
+                        written[q] = True
+        for q in range(4):
+            x6q = _leaky(yacc[0:rows, 0:wc, q * 128:(q + 1) * 128]
+                         + b6_ref[0, q * 128:(q + 1) * 128]).astype(cdtype)
+            l7_tap(q, x6q)
+    else:
+        for p, entries in enumerate(spec6):
+            a = acc.at[0:rows, 0:wc, 0:128]
+            for g, (Dy, Dx, lanes, k0, klen) in enumerate(entries):
+                part = _dot3(_gather_k(x5, rows, wc, Dy, Dx, lanes),
+                             w6_ref[p, k0:k0 + klen, :], accdt)
+                if g == 0:
+                    a[...] = part
+                else:
+                    a[...] += part
+            x6p = _leaky(a[...]
+                         + b6_ref[0, p * 128:(p + 1) * 128].astype(accdt)
+                         ).astype(cdtype)
+            l7_tap(p, x6p)
     y = None
     if l7_fold:
         # the 9-tap shift-sum is four 4-lane slice adds, no MXU pass
@@ -424,6 +493,12 @@ def _stack_body(tr, tc, cdtype, accdt, spec, fuse_u8, l7_fold, narrow, xa,
     off = _color._INV_OFF
     u = uvp_ref[0][:, :, 0:4].astype(jnp.float32)
     v = uvp_ref[0][:, :, 4:8].astype(jnp.float32)
+    if uvp_ref.dtype == jnp.int16:
+        # fixed-point uvp (see UVP_MODE): v = q / 32767 + 0.5
+        s = jnp.float32(1.0 / 32767.0)
+        half = jnp.float32(0.5)
+        u = u * s + half
+        v = v * s + half
     chans = []
     for c in range(3):
         val = y * inv[c, 0] + u * inv[c, 1] + v * inv[c, 2] + off[c]
@@ -473,9 +548,10 @@ def _full(shape, dtype=None):
 @functools.partial(
     jax.jit,
     static_argnames=("tr", "tc", "ny", "nx", "spec", "interpret",
-                     "acc_f32", "l1_direct", "l7_fold"))
+                     "acc_f32", "l1_direct", "l7_fold", "l6_wino"))
 def _run_stack(xcol, kp, tr, tc, ny, nx, spec, interpret=False,
-               acc_f32=True, uvp=None, l1_direct=True, l7_fold=None):
+               acc_f32=True, uvp=None, l1_direct=True, l7_fold=None,
+               l6_wino=None):
     """uvp=None: emit converted Y in s2d layout (cdtype). uvp given
     ([N, ny*tr, nx*tc, 8] channel-major U/V phases): K2 additionally fuses
     the YUV->BGR + saturate-cast and emits u8, lanes (c*4 + phase)."""
@@ -488,6 +564,8 @@ def _run_stack(xcol, kp, tr, tc, ny, nx, spec, interpret=False,
     fuse_u8 = uvp is not None
     if l7_fold is None:
         l7_fold = L7_FOLD
+    if l6_wino is None:
+        l6_wino = L6_WINO
 
     def _xblk(di, dj):
         # The kernel assembles its overlapping (tr+6, tc+16) input window
@@ -538,7 +616,7 @@ def _run_stack(xcol, kp, tr, tc, ny, nx, spec, interpret=False,
         out_shape = jax.ShapeDtypeStruct((n, ny * tr, nx * tc, 4), cdtype)
     y = pl.pallas_call(
         functools.partial(_stack_body, tr, tc, cdtype, accdt, spec, fuse_u8,
-                          l7_fold, narrow),
+                          l7_fold, l6_wino, narrow),
         grid=(n, ny, nx),
         in_specs=[
             _xblk(0, 0),
@@ -550,7 +628,7 @@ def _run_stack(xcol, kp, tr, tc, ny, nx, spec, interpret=False,
             _full((2, 384, 128)), _full((1, 256)),
             _full((2, 768, 128)), _full((1, 256)),
             _full((4, 576, 128)), _full((1, 512)),
-            _full((4, 1152, 128)), _full((1, 512)),
+            _full((4, 1152, 128)), _full((1, 512)), _full((16, 128, 128)),
             _full((512, 64)), _full((256, 4)), _full((512, 16)),
             pl.BlockSpec((1, 1), lambda nn, i, j: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -579,13 +657,15 @@ def _run_stack(xcol, kp, tr, tc, ny, nx, spec, interpret=False,
             pltpu.VMEM((tr + 1, tc + 16, 16 if l7_fold else 64),
                        jnp.float32),                         # zt (L7 taps)
             pltpu.VMEM((tr + 5, tc + 16, 128), accdt),    # shared acc
-        ],
+        ] + ([
+            pltpu.VMEM((tr + 1, tc + 16, 512), jnp.float32),  # wino yacc
+        ] if l6_wino else []),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(xcol, xcol, xcol, xcol, kp["l1"], kp["b1"], kp["w2a"], kp["b2a"],
       kp["w2b"], kp["b2b"], kp["w2c"], kp["b2c"], kp["w5"], kp["b5"],
-      kp["w6"], kp["b6"], kp["l7_blk"], kp["l7_sel"], kp["l7_blk2"],
-      kp["b7"], *uvp_args)
+      kp["w6"], kp["b6"], kp["w6w"], kp["l7_blk"], kp["l7_sel"],
+      kp["l7_blk2"], kp["b7"], *uvp_args)
     return y
 
 
@@ -711,11 +791,29 @@ def stack_scale_fused_u8(ylow: jax.Array, uvp: jax.Array, kernel_params,
     tr, tc = tile or pick_tile(hl, wl, ylow.dtype.itemsize)
     ny, nx = _grid_for(hl, wl, tr, tc)
     xcol = _xcol_scale(ylow, tr, tc)
-    if UVP_BF16:
-        uvp = uvp.astype(jnp.bfloat16)   # see the UVP_BF16 flag note
+    uvp = encode_uvp(uvp)
     out = _run_stack(xcol, kernel_params, tr, tc, ny, nx, spec,
                      interpret=interpret, uvp=uvp)
     return out[:, :hl, :wl, :]
+
+
+@jax.jit
+def _uvp_to_i16(uvp: jax.Array) -> jax.Array:
+    q = jnp.round((uvp - jnp.float32(0.5)) * jnp.float32(32767.0))
+    return jnp.clip(q, -32768, 32767).astype(jnp.int16)
+
+
+def encode_uvp(uvp: jax.Array) -> jax.Array:
+    """Narrow the f32 channel-major U/V phase window per UVP_MODE (the
+    kernel decodes int16 back to f32 in two VPU ops). A caller that
+    already narrowed its uvp (A/B tests) is left alone."""
+    if uvp.dtype != jnp.float32:
+        return uvp
+    if UVP_MODE == "i16":
+        return _uvp_to_i16(uvp)
+    if UVP_MODE == "bf16":
+        return uvp.astype(jnp.bfloat16)
+    return uvp
 
 
 def grid_dims(hl: int, wl: int,

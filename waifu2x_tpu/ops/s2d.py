@@ -280,6 +280,35 @@ def pack_l7_fold(w7) -> np.ndarray:
     return blk2
 
 
+_WINO_G = np.array([[1.0, 0.0, 0.0],
+                    [0.5, 0.5, 0.5],
+                    [0.5, -0.5, 0.5],
+                    [0.0, 0.0, 1.0]], np.float32)
+# F(2x2, 3x3) Winograd in correlation orientation (the stack's filter2D
+# semantics, modelHandler.cpp:134-145): y[A] = sum_m d[A+m] g[m] with
+#   B^T = [[1,0,-1,0],[0,1,1,0],[0,-1,1,0],[0,1,0,-1]]
+#   A^T = [[1,1,1,0],[0,1,-1,-1]]
+# The 4x4 input window of one s2d cell is exactly its 2x2 block of s2d
+# cells (taps t: cell row +t//2, parity t%2), so V builds from lane-block
+# slices of the s2d activation — no relayout. B^T/A^T entries are 0/±1:
+# the in-kernel transforms are pure shift-adds; only G touches weights.
+_WINO_BT_TAPS = (((0, 1.0), (2, -1.0)), ((1, 1.0), (2, 1.0)),
+                 ((1, -1.0), (2, 1.0)), ((1, 1.0), (3, -1.0)))
+_WINO_AT = ((1.0, 1.0, 1.0, 0.0), (0.0, 1.0, -1.0, -1.0))
+
+
+def pack_wino(w) -> np.ndarray:
+    """One 3x3 layer's weights in the Winograd-transformed domain:
+    [3,3,ci,co] -> U[16, ci, co] with p = py*4 + px, U[p] = (G g G^T)[py,px]
+    per (ci, co) pair. M[p] = V[p] @ U[p] replaces the phase-sparse
+    shift-matmuls: 16 full-K MXU passes instead of 36 for ci=co=128
+    (2.25x fewer useful MACs — the classic F(2,3) reduction)."""
+    w = np.asarray(w, np.float32)
+    assert w.shape[:2] == (3, 3)
+    u = np.einsum("ak,bl,klio->abio", _WINO_G, _WINO_G, w)
+    return np.ascontiguousarray(u.reshape(16, w.shape[2], w.shape[3]))
+
+
 def pack_stack(params, scale_input: bool) -> dict:
     """Pack a 7-layer parameter pytree for the polyphase fast path.
 
