@@ -54,9 +54,36 @@ def model_filter(input_planes: list[np.ndarray], layer) -> list[np.ndarray]:
     return outs
 
 
-def convert_with_models_basic(plane: np.ndarray, params) -> np.ndarray:
+def model_filter_fast(x: np.ndarray, layer) -> np.ndarray:
+    """BLAS twin of model_filter for PSNR-level (not bit-level) tests:
+    same correlation/bias/LeakyReLU math on [cin, H, W] stacks via one
+    channel matmul per tap — float summation order differs from the
+    sequential C++ loop by ~1e-6 relative, 100x faster at 512^2."""
+    w, b = layer["w"], layer["b"]
+    kh, kw, cin, cout = w.shape
+    ph, pw = kh // 2, kw // 2
+    h, wd = x.shape[1], x.shape[2]
+    xp = np.pad(x, ((0, 0), (ph, ph), (pw, pw)), mode="edge")
+    acc = np.zeros((cout, h, wd), np.float32)
+    for dy in range(kh):
+        for dx in range(kw):
+            tap = xp[:, dy:dy + h, dx:dx + wd].reshape(cin, -1)
+            acc += (w[dy, dx].T.astype(np.float32) @ tap).reshape(
+                cout, h, wd)
+    acc += b.astype(np.float32)[:, None, None]
+    return np.maximum(acc, 0) + np.float32(0.1) * np.minimum(acc, 0)
+
+
+def convert_with_models_basic(plane: np.ndarray, params,
+                              fast: bool = False) -> np.ndarray:
     """convertRoutine.cpp:53-82 — sequential layer loop; input must already
     be padded by the caller."""
+    if fast:
+        x = plane.astype(np.float32)[None]
+        for layer in params:
+            x = model_filter_fast(x, layer)
+        assert x.shape[0] == 1
+        return x[0]
     planes = [plane.astype(np.float32)]
     for layer in params:
         planes = model_filter(planes, layer)
@@ -65,21 +92,23 @@ def convert_with_models_basic(plane: np.ndarray, params) -> np.ndarray:
 
 
 def convert_with_models(plane: np.ndarray, params, block_size: int | None = None,
-                        block_splitting: bool = True) -> np.ndarray:
+                        block_splitting: bool = True,
+                        fast: bool = False) -> np.ndarray:
     """convertWithModels (convertRoutine.cpp:21-49) incl. the split decision
     W*H > blockW*blockH*3/2 (convertRoutine.cpp:25-26)."""
     n_model = len(params)
     h, w = plane.shape
     bs = block_size if block_size is not None else 512
     if block_splitting and (w * h > bs * bs * 3 // 2):
-        return convert_with_models_block_split(plane, params, bs)
+        return convert_with_models_block_split(plane, params, bs, fast=fast)
     padded = replicate_pad(plane, n_model, n_model, n_model, n_model)
-    out = convert_with_models_basic(padded, params)
+    out = convert_with_models_basic(padded, params, fast=fast)
     return out[n_model : n_model + h, n_model : n_model + w]
 
 
 def convert_with_models_block_split(plane: np.ndarray, params,
-                                    block_size: int = 512) -> np.ndarray:
+                                    block_size: int = 512,
+                                    fast: bool = False) -> np.ndarray:
     """convertWithModelsBlockSplit (convertRoutine.cpp:84-168): pad whole
     plane by n_model, tile at stride block-2*n_model with remainder blocks,
     run the stack per block, crop the n_model rim, stitch."""
@@ -97,7 +126,7 @@ def convert_with_models_block_split(plane: np.ndarray, params,
             c0 = c * stride
             c1 = padded.shape[1] if c == split_cols - 1 else c0 + block_size
             block = padded[r0:r1, c0:c1]
-            res = convert_with_models_basic(block, params)
+            res = convert_with_models_basic(block, params, fast=fast)
             inner = res[n_model : res.shape[0] - n_model,
                         n_model : res.shape[1] - n_model]
             out[r0 : r0 + inner.shape[0], c0 : c0 + inner.shape[1]] = inner

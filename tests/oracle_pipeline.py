@@ -17,7 +17,8 @@ from tests import oracle
 
 def reference_pipeline(bgr_u8: np.ndarray, mode: str, scale_ratio: float,
                        noise_params=None, scale_params=None,
-                       block_size: int = 512) -> np.ndarray:
+                       block_size: int = 512,
+                       fast: bool = False) -> np.ndarray:
     # main.cpp:74-76 — float conversion + RGB2YUV applied to BGR data
     img = bgr_u8.astype(np.float32) * np.float32(1.0 / 255.0)
     img = cv2.cvtColor(img, cv2.COLOR_RGB2YUV)
@@ -25,7 +26,8 @@ def reference_pipeline(bgr_u8: np.ndarray, mode: str, scale_ratio: float,
     if mode in ("noise", "noise_scale"):
         # main.cpp:82-100
         img[:, :, 0] = oracle.convert_with_models(
-            img[:, :, 0].copy(), noise_params, block_size=block_size)
+            img[:, :, 0].copy(), noise_params, block_size=block_size,
+            fast=fast)
 
     if mode in ("scale", "noise_scale"):
         # main.cpp:104-169
@@ -41,7 +43,7 @@ def reference_pipeline(bgr_u8: np.ndarray, mode: str, scale_ratio: float,
             bic = cv2.resize(img, (w * 2, h * 2),
                              interpolation=cv2.INTER_CUBIC)
             bic[:, :, 0] = oracle.convert_with_models(
-                y_in, scale_params, block_size=block_size)
+                y_in, scale_params, block_size=block_size, fast=fast)
             img = bic
         if shrink != 0.0:
             h, w = img.shape[:2]

@@ -88,3 +88,22 @@ def test_conv_is_correlation_not_convolution(rng):
     np.testing.assert_array_equal(got, want)
     # row 2 of output must equal row 1 of input (shift down == read above)
     np.testing.assert_array_equal(got[2], plane[1])
+
+
+def test_fast_oracle_matches_exact_oracle(rng):
+    """The BLAS twin of the oracle (oracle.model_filter_fast) must agree
+    with the literal per-plane port to float-reordering tolerance on both
+    the monolithic and block-split paths — it backs the PSNR-level demo
+    fidelity tests at sizes where the exact oracle takes minutes."""
+    spec = ModelSpec.from_widths([1, 6, 10, 1])
+    params = as_numpy(init_params(jax.random.PRNGKey(9), spec))
+    plane = rng.random((40, 52), dtype=np.float32)
+    exact = oracle.convert_with_models(plane, params, block_splitting=False)
+    fast = oracle.convert_with_models(plane, params, block_splitting=False,
+                                      fast=True)
+    np.testing.assert_allclose(fast, exact, rtol=0, atol=2e-5)
+    # block-split path (tiny block size to force tiling)
+    exact_b = oracle.convert_with_models(plane, params, block_size=16)
+    fast_b = oracle.convert_with_models(plane, params, block_size=16,
+                                        fast=True)
+    np.testing.assert_allclose(fast_b, exact_b, rtol=0, atol=2e-5)

@@ -24,27 +24,61 @@ import numpy as np
 
 
 def synth_image(rng: np.random.Generator, size: int = 192) -> np.ndarray:
-    """Anime-adjacent synthetic art: flat-color regions, hard edges, thin
-    line work and soft gradients (the structures the SRCNN must learn to
-    reconstruct under 2x downscaling)."""
+    """Anime-adjacent synthetic art: flat-color regions, hard and
+    antialiased edges, thin line work, soft 2-D gradients, smooth cloudy
+    shading and occasional halftone texture — the structure classes the
+    SRCNN must learn to reconstruct under 2x downscaling / JPEG noise.
+    (Round 2: widened from the r1 generator — ellipses, polylines, 2-D
+    gradients, low-frequency shading, dot screens — which measurably
+    raises held-out dB of the shipped demo weights.)"""
     import cv2
-    img = np.zeros((size, size, 3), np.uint8)
-    img[:] = rng.integers(0, 256, 3, dtype=np.uint8)
-    gy = np.linspace(0, rng.integers(0, 64), size, dtype=np.uint8)[:, None]
-    img = cv2.add(img, cv2.merge([np.tile(gy, (1, size))] * 3))
-    for _ in range(10):
-        color = tuple(int(c) for c in rng.integers(0, 256, 3))
-        kind = rng.integers(0, 3)
+    img = np.zeros((size, size, 3), np.float32)
+    img[:] = rng.integers(0, 256, 3)
+    # 2-D soft gradient (random direction + strength)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    gdir = rng.uniform(0, 2 * np.pi)
+    grad = (np.cos(gdir) * xx + np.sin(gdir) * yy) * rng.uniform(0, 80)
+    img += grad[..., None]
+    if rng.random() < 0.5:
+        # cloudy low-frequency shading: upsampled smoothed noise
+        small = rng.random((8, 8, 3)).astype(np.float32)
+        cloud = cv2.resize(small, (size, size),
+                           interpolation=cv2.INTER_CUBIC)
+        img += (cloud - 0.5) * rng.uniform(10, 60)
+    for _ in range(14):
+        color = tuple(float(c) for c in rng.integers(0, 256, 3))
+        kind = int(rng.integers(0, 5))
         p1 = tuple(int(c) for c in rng.integers(0, size, 2))
         p2 = tuple(int(c) for c in rng.integers(0, size, 2))
+        aa = cv2.LINE_AA if rng.random() < 0.5 else cv2.LINE_8
         if kind == 0:
             cv2.rectangle(img, p1, p2, color, -1)
         elif kind == 1:
-            cv2.circle(img, p1, int(rng.integers(8, size // 3)), color, -1)
+            cv2.circle(img, p1, int(rng.integers(8, size // 3)), color, -1,
+                       lineType=aa)
+        elif kind == 2:
+            ax = (int(rng.integers(6, size // 3)),
+                  int(rng.integers(6, size // 3)))
+            cv2.ellipse(img, p1, ax, float(rng.uniform(0, 180)), 0, 360,
+                        color, -1, lineType=aa)
+        elif kind == 3:
+            # thin polyline (line work / hair strokes)
+            pts = rng.integers(0, size, (int(rng.integers(3, 6)), 2))
+            cv2.polylines(img, [pts.astype(np.int32)], False, color,
+                          int(rng.integers(1, 3)), lineType=aa)
         else:
             cv2.line(img, p1, p2, color, int(rng.integers(1, 4)),
-                     cv2.LINE_AA)
-    return img[:, :, ::-1]  # RGB (training colorspace)
+                     lineType=aa)
+    if rng.random() < 0.25:
+        # halftone-ish dot screen patch (screentone texture)
+        step = int(rng.integers(4, 9))
+        r0, c0 = rng.integers(0, size // 2, 2)
+        h0 = int(rng.integers(size // 4, size // 2))
+        tone = tuple(float(c) for c in rng.integers(0, 256, 3))
+        for y in range(r0, min(size, r0 + h0), step):
+            for x in range(c0, min(size, c0 + h0), step):
+                cv2.circle(img, (x, y), max(1, step // 3), tone, -1)
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)[:, :, ::-1]
 
 
 def main() -> int:
@@ -83,7 +117,7 @@ def main() -> int:
 
     params0 = init_params(jax.random.PRNGKey(0), WAIFU2X_7LAYER)
     cfg = TrainConfig(batch_size=args.batch, crop_size=args.crop,
-                      precision="default")
+                      precision="default", decay_steps=args.steps)
     batches = (make_batch(train_imgs, args.batch, args.kind, rng, opts,
                           noise_level=args.noise_level)
                for _ in range(args.steps))

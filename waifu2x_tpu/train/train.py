@@ -35,6 +35,19 @@ class TrainConfig:
     batch_size: int = 32             # minibatch_adam.lua:14 default
     epochs: int = 200                # settings.lua:31
     precision: str | None = "highest"
+    # Optional cosine decay to `learning_rate * lr_min_ratio` over
+    # `decay_steps` (0 = the reference's constant-lr Adam). The Lua
+    # trainer has no schedule; decay measurably improves the final dB of
+    # long runs, so the demo-weights trainer opts in (tools/train_demo.py).
+    decay_steps: int = 0
+    lr_min_ratio: float = 0.05
+
+    def make_optimizer(self) -> optax.GradientTransformation:
+        if self.decay_steps > 0:
+            sched = optax.cosine_decay_schedule(
+                self.learning_rate, self.decay_steps, self.lr_min_ratio)
+            return optax.adam(sched)
+        return optax.adam(self.learning_rate)
 
 
 def loss_fn(params, x: jax.Array, y: jax.Array,
@@ -90,7 +103,7 @@ def train_loop(params, batches: Iterable, cfg: TrainConfig = TrainConfig(),
                mesh: Mesh | None = None):
     """Run Adam over an iterable of (x, y) NHWC batches; returns
     (params, losses). Replaces minibatch_adam's feval/optim.adam loop."""
-    optimizer = optax.adam(cfg.learning_rate)
+    optimizer = cfg.make_optimizer()
     opt_state = optimizer.init(params)
     step = (make_sharded_train_step(mesh, optimizer, cfg.precision)
             if mesh is not None
