@@ -395,6 +395,15 @@ def _to_bgr_u8(yuv: jax.Array) -> jax.Array:
     return saturate_cast_u8(yuv_to_bgr(yuv))
 
 
+SMALL_IMG_PX = 96 * 1024
+# Below ~0.1 MP the bf16 fused kernels' output is edge-dominated (the
+# one-sided replicate halo's bf16 rounding concentrates at borders):
+# measured vs the cv2 oracle with the shipped demo weights, 49.3 dB at
+# 120x160 but 53.0 dB at 512^2 (the >=50 product bar). Under
+# use_pallas="auto" such images route to the ~92 dB XLA path instead —
+# at these sizes conversion is dispatch-bound, so throughput is moot.
+
+
 @dataclasses.dataclass
 class Converter:
     """Loaded-models pipeline front end. Replaces the main() body of the
@@ -405,6 +414,14 @@ class Converter:
     scale_params: tuple | None = None
     fast_noise: "FastStack | None" = None
     fast_scale: "FastStack | None" = None
+
+    def _fast_ok(self, fast: "FastStack | None", px: int) -> bool:
+        """Use the fused kernels for this plane? 'auto' keeps tiny images
+        on the XLA path for fidelity (see SMALL_IMG_PX); an explicit
+        use_pallas=True honors the user's choice at any size."""
+        if fast is None:
+            return False
+        return self.cfg.use_pallas is True or px >= SMALL_IMG_PX
 
     @classmethod
     def from_config(cls, cfg: Config) -> "Converter":
@@ -422,7 +439,8 @@ class Converter:
     def process_yuv(self, yuv: jax.Array) -> jax.Array:
         cfg = self.cfg
         if self.noise_params is not None:
-            if self.fast_noise is not None:
+            if self._fast_ok(self.fast_noise,
+                             yuv.shape[0] * yuv.shape[1]):
                 # noise_batch_fast applies the BAND_PX per-dispatch volume
                 # cap — a single 8K image through the public API must take
                 # the same banded path as the batch pipelines
@@ -432,7 +450,8 @@ class Converter:
         if self.scale_params is not None:
             iters, shrink = scale_plan(cfg.scale_ratio)
             for _ in range(iters):
-                if self.fast_scale is not None:
+                if self._fast_ok(self.fast_scale,
+                                 yuv.shape[0] * yuv.shape[1]):
                     yuv = scale2x_batch_fast(yuv[None], self.fast_scale)[0]
                 else:
                     yuv = _scale_step(yuv, self.scale_params, cfg)
