@@ -587,6 +587,12 @@ def _run_stack(xcol, kp, tr, tc, ny, nx, spec, interpret=False,
     narrow = (tr % 8 == 0 and tc % 16 == 0
               and _os.environ.get("W2X_NARROW", "1") == "1")
     cb, rb = tc // 16, tr // 8
+    # The x1/x3/x5 lane-overlay scratch aliasing is bf16-only: at f32 the
+    # same scheme produced NaNs on real TPU (Mosaic misorders the
+    # overlapping lane-slice lifetimes under (8,128) f32 tiling; bisected
+    # on-chip — alias off is clean, and bf16 aliasing measures bit-exact
+    # across tile shapes). f32 kernels take the separate-scratch path.
+    alias = l1_direct and ALIAS_SCRATCH and cdtype == jnp.bfloat16
 
     def _xblk_right():
         return pl.BlockSpec((1, tr, 16, 16),
@@ -642,7 +648,7 @@ def _run_stack(xcol, kp, tr, tc, ny, nx, spec, interpret=False,
             [
                 pltpu.VMEM((tr + 6, tc + 16, 512), cdtype),  # A: x1/x3/x5
                 pltpu.VMEM((tr + 5, tc + 16, 256), cdtype),  # B: x2/x4
-            ] if (l1_direct and ALIAS_SCRATCH) else
+            ] if alias else
             ([] if l1_direct else [
                 pltpu.VMEM((tr + 6, tc + 16, 16), cdtype),  # xin (im2col win)
             ]) + [
