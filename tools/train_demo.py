@@ -118,10 +118,33 @@ def main() -> int:
     params0 = init_params(jax.random.PRNGKey(0), WAIFU2X_7LAYER)
     cfg = TrainConfig(batch_size=args.batch, crop_size=args.crop,
                       precision="default", decay_steps=args.steps)
-    batches = (make_batch(train_imgs, args.batch, args.kind, rng, opts,
-                          noise_level=args.noise_level)
-               for _ in range(args.steps))
-    params, losses = train_loop(params0, batches, cfg)
+    def gen():
+        for _ in range(args.steps):
+            yield make_batch(train_imgs, args.batch, args.kind, rng, opts,
+                             noise_level=args.noise_level)
+
+    # host-side pair synthesis (crops/flips/JPEG) runs on a prefetch
+    # thread so it overlaps the device step instead of serializing with it
+    import queue as _q
+    import threading as _t
+
+    def prefetch(it, depth=8):
+        q: "_q.Queue" = _q.Queue(maxsize=depth)
+        END = object()
+
+        def worker():
+            for item in it:
+                q.put(item)
+            q.put(END)
+
+        _t.Thread(target=worker, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is END:
+                return
+            yield item
+
+    params, losses = train_loop(params0, prefetch(gen()), cfg)
     print(f"trained {args.steps} steps: mse {losses[0]:.5f} -> "
           f"{np.mean(losses[-20:]):.5f}")
 
