@@ -60,9 +60,9 @@ def body(fx, fy, xa, xb, xc, xd, l1, b1, w2a, b2a, w2b, b2b, w2c, b2c,
         return ps._leaky(ps._dot3(q, l1[:], accdt) + b1v).astype(cdtype)
 
     x1[0:tr, 0:tc, :] = l1q(xa[0])
-    x1[0:tr, tc:tc + 16, :] = l1q(xb[0])
+    x1[0:tr, tc:tc + 16, :] = l1q(xb[0][:, 0:16, :])
     x1[tr:tr + 6, 0:tc, :] = l1q(xc[0][0:6, :, :])
-    x1[tr:tr + 6, tc:tc + 16, :] = l1q(xd[0][0:6, :, :])
+    x1[tr:tr + 6, tc:tc + 16, :] = l1q(xd[0][0:6, 0:16, :])
 
     def block4(src, w_ref, b_ref, rows):
         a = acc.at[0:rows, 0:wc, 0:128]
