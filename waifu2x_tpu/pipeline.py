@@ -231,6 +231,46 @@ def _uv_phases_cmajor(yuv: jax.Array, tile) -> jax.Array:
     return phases.reshape(n, hp, wp, 8)
 
 
+import os as _os
+
+FUSED_TAIL = _os.environ.get("W2X_TAIL", "xla")
+# "xla" (default): the conv stack runs as the y-only fused kernel
+# (stack_scale) and the bicubic-U/V + YUV->BGR + saturate-cast tail runs
+# as a separate dense XLA program at full 128-lane width (the polyphase
+# dim merged into width). Measured 21.3 vs 21.8 ms/4f at 512^2 against
+# "kernel" (the in-kernel u8 tail, stack_scale_fused_u8): the kernel tail
+# works on 4-16-lane vregs at 1/32-1/8 lane utilization (~1.49 ms/4f)
+# while the dense XLA twin streams the same math at full width — and the
+# kernel drops its uvp input entirely (less VMEM pressure) and the U/V
+# path keeps full f32 (no i16/bf16 uvp quantization). See docs/PERF.md.
+
+
+def _tail_u8_cmajor(y_s2d, yuv):
+    """Dense u8/BGR tail: converted-Y s2d [N,h,w,4] + f32 YUV [N,h,w,3] ->
+    uint8 BGR in CHANNEL-MAJOR polyphase layout [N,h,w,16] (lane c*4+phase,
+    lanes 12:16 zero) — the same contract as stack_scale_fused_u8. Same
+    math as yuv_to_bgr/saturate_cast_u8, restated on [n,h,w*4] arrays so
+    the VPU works at full lane width."""
+    from waifu2x_tpu.ops import color as _color
+    n, h, w, _ = yuv.shape
+    ph = resize2x_phases(yuv[..., 1:3], CUBIC, h_axis=1)   # [n,h,w,2,4] f32
+    y2 = y_s2d[:, :h, :w, :].astype(jnp.float32).reshape(n, h, w * 4)
+    u2 = ph[..., 0, :].reshape(n, h, w * 4)
+    v2 = ph[..., 1, :].reshape(n, h, w * 4)
+    inv, off = _color._INV, _color._INV_OFF
+    chans = []
+    for c in range(3):
+        val = (y2 * inv[c, 0] + u2 * inv[c, 1] + v2 * inv[c, 2]
+               + off[c]) * jnp.float32(255.0)
+        chans.append(jnp.clip(jnp.round(val), 0, 255)
+                     .astype(jnp.uint8).reshape(n, h, w, 4))
+    chans.append(jnp.zeros_like(chans[0]))
+    return jnp.concatenate(chans, axis=-1)                 # [n,h,w,16]
+
+
+_tail_u8_cmajor_jit = jax.jit(_tail_u8_cmajor)
+
+
 def _fused_step(yuv, kp, tile, spec, interpret, dtype):
     # Deliberately NOT one outer jit: the U/V prep, the im2col build and
     # the kernel call run as separate programs. Collapsing them into one
@@ -241,6 +281,10 @@ def _fused_step(yuv, kp, tile, spec, interpret, dtype):
     # expansion -> HBM OOM at e.g. batch-4 1080p); the standalone
     # _xcol_scale program compiles densely at those same shapes.
     ps = _fast_import()
+    if FUSED_TAIL == "xla":
+        y_s2d = ps.stack_scale(yuv[..., 0].astype(dtype), kp, spec, tile,
+                               interpret=interpret)
+        return _tail_u8_cmajor_jit(y_s2d, yuv)
     uvp = _uv_phases_cmajor(yuv, tile)
     return ps.stack_scale_fused_u8(yuv[..., 0].astype(dtype), uvp,
                                    kp, spec, tile, interpret=interpret)
