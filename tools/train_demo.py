@@ -92,6 +92,9 @@ def main() -> int:
     ap.add_argument("--noise_level", type=int, default=1, choices=[1, 2])
     ap.add_argument("--images", type=int, default=64,
                     help="synthetic training images to generate")
+    ap.add_argument("--workers", type=int, default=4,
+                    help="host synthesis threads (cv2 releases the GIL; "
+                         "long runs are otherwise host-synthesis-bound)")
     ap.add_argument("--out", default=None,
                     help="output JSON (default: models/<kind>_demo name)")
     args = ap.parse_args()
@@ -118,33 +121,38 @@ def main() -> int:
     params0 = init_params(jax.random.PRNGKey(0), WAIFU2X_7LAYER)
     cfg = TrainConfig(batch_size=args.batch, crop_size=args.crop,
                       precision="default", decay_steps=args.steps)
-    def gen():
-        for _ in range(args.steps):
-            yield make_batch(train_imgs, args.batch, args.kind, rng, opts,
-                             noise_level=args.noise_level)
-
-    # host-side pair synthesis (crops/flips/JPEG) runs on a prefetch
-    # thread so it overlaps the device step instead of serializing with it
+    # host-side pair synthesis (crops/flips/JPEG) runs on a small thread
+    # pool so it overlaps the device steps instead of serializing with
+    # them (cv2's codecs release the GIL; one thread caps long runs).
+    # SGD doesn't care about batch order, so workers just share a queue.
     import queue as _q
     import threading as _t
 
-    def prefetch(it, depth=8):
+    def prefetch(steps, workers, depth=16):
         q: "_q.Queue" = _q.Queue(maxsize=depth)
         END = object()
+        per = [steps // workers + (i < steps % workers)
+               for i in range(workers)]
 
-        def worker():
-            for item in it:
-                q.put(item)
+        def worker(i, n):
+            wrng = np.random.default_rng(1000 + i)
+            for _ in range(n):
+                q.put(make_batch(train_imgs, args.batch, args.kind, wrng,
+                                 opts, noise_level=args.noise_level))
             q.put(END)
 
-        _t.Thread(target=worker, daemon=True).start()
-        while True:
+        for i, n in enumerate(per):
+            _t.Thread(target=worker, args=(i, n), daemon=True).start()
+        done = 0
+        while done < workers:
             item = q.get()
             if item is END:
-                return
+                done += 1
+                continue
             yield item
 
-    params, losses = train_loop(params0, prefetch(gen()), cfg)
+    params, losses = train_loop(
+        params0, prefetch(args.steps, max(1, args.workers)), cfg)
     print(f"trained {args.steps} steps: mse {losses[0]:.5f} -> "
           f"{np.mean(losses[-20:]):.5f}")
 

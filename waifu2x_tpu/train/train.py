@@ -100,19 +100,34 @@ def make_sharded_train_step(mesh: Mesh,
 
 
 def train_loop(params, batches: Iterable, cfg: TrainConfig = TrainConfig(),
-               mesh: Mesh | None = None):
+               mesh: Mesh | None = None, log_every: int = 50):
     """Run Adam over an iterable of (x, y) NHWC batches; returns
-    (params, losses). Replaces minibatch_adam's feval/optim.adam loop."""
+    (params, losses). Replaces minibatch_adam's feval/optim.adam loop.
+
+    Losses are accumulated as device scalars and fetched in chunks: a
+    per-step float(loss) would force a host sync every step, capping the
+    dispatch pipeline at depth 1 — through a remote-TPU relay (~3 ms per
+    round trip) that serialization dominates small-model step time."""
     optimizer = cfg.make_optimizer()
     opt_state = optimizer.init(params)
     step = (make_sharded_train_step(mesh, optimizer, cfg.precision)
             if mesh is not None
             else make_train_step(optimizer, cfg.precision))
-    losses = []
+    losses: list[float] = []
+    pending: list[jax.Array] = []
+
+    def _drain():
+        if pending:
+            losses.extend(np.asarray(jnp.stack(pending)).tolist())
+            pending.clear()
+
     for i, (x, y) in enumerate(batches):
         params, opt_state, loss = step(params, opt_state,
                                        jnp.asarray(x), jnp.asarray(y))
-        losses.append(float(loss))
-        if (i + 1) % 50 == 0:
-            log.info("step %d  mse %.6f", i + 1, np.mean(losses[-50:]))
+        pending.append(loss)
+        if (i + 1) % log_every == 0:
+            _drain()
+            log.info("step %d  mse %.6f", i + 1,
+                     np.mean(losses[-log_every:]))
+    _drain()
     return params, losses
