@@ -78,6 +78,25 @@ def test_scale2x_fused_u8_matches_unfused(params, fast, rng):
     assert diff.max() <= 1 and (diff != 0).mean() < 0.005
 
 
+def test_fused_step_xla_tail_matches_kernel_tail(fast, rng, monkeypatch):
+    """The default dense-XLA u8/BGR tail (W2X_TAIL=xla) must stay within
+    one u8 level of the in-kernel tail (W2X_TAIL=kernel) on few pixels:
+    identical math, different op order/rounding site for the U/V path."""
+    import waifu2x_tpu.pipeline as pl
+    from waifu2x_tpu.pipeline import scale2x_batch_u8_fused
+
+    yuv = jnp.asarray(rng.random((2, 18, 20, 3), dtype=np.float32))
+    monkeypatch.setattr(pl, "FUSED_TAIL", "xla")
+    a = np.asarray(scale2x_batch_u8_fused(yuv, fast))
+    monkeypatch.setattr(pl, "FUSED_TAIL", "kernel")
+    b = np.asarray(scale2x_batch_u8_fused(yuv, fast))
+    diff = np.abs(a[..., :12].astype(int) - b[..., :12].astype(int))
+    assert diff.max() <= 1 and (diff != 0).mean() < 0.005, (
+        diff.max(), (diff != 0).mean())
+    # lanes 12:16 are zero in both layouts
+    assert not a[..., 12:].any() and not b[..., 12:].any()
+
+
 def test_scale2x_fused_banded_exact(params, fast, rng):
     from waifu2x_tpu.pipeline import scale2x_batch_u8_fused
     yuv = jnp.asarray(rng.random((1, 50, 20, 3), dtype=np.float32))
