@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from functools import partial
 import jax
 import jax.numpy as jnp
@@ -25,6 +26,7 @@ from waifu2x_tpu.config import Config
 from waifu2x_tpu.models.srcnn import WAIFU2X_7LAYER, validate_params
 from waifu2x_tpu.utils.logging import get_logger
 from waifu2x_tpu.models.weights import load_model_json, model_file_for
+from waifu2x_tpu.ops import color
 from waifu2x_tpu.ops.color import (
     bgr_to_yuv,
     saturate_cast_u8,
@@ -231,9 +233,7 @@ def _uv_phases_cmajor(yuv: jax.Array, tile) -> jax.Array:
     return phases.reshape(n, hp, wp, 8)
 
 
-import os as _os
-
-FUSED_TAIL = _os.environ.get("W2X_TAIL", "xla")
+FUSED_TAIL = os.environ.get("W2X_TAIL", "xla")
 # "xla" (default): the conv stack runs as the y-only fused kernel
 # (stack_scale) and the bicubic-U/V + YUV->BGR + saturate-cast tail runs
 # as a separate dense XLA program at full 128-lane width (the polyphase
@@ -251,13 +251,12 @@ def _tail_u8_cmajor(y_s2d, yuv):
     lanes 12:16 zero) — the same contract as stack_scale_fused_u8. Same
     math as yuv_to_bgr/saturate_cast_u8, restated on [n,h,w*4] arrays so
     the VPU works at full lane width."""
-    from waifu2x_tpu.ops import color as _color
     n, h, w, _ = yuv.shape
     ph = resize2x_phases(yuv[..., 1:3], CUBIC, h_axis=1)   # [n,h,w,2,4] f32
     y2 = y_s2d[:, :h, :w, :].astype(jnp.float32).reshape(n, h, w * 4)
     u2 = ph[..., 0, :].reshape(n, h, w * 4)
     v2 = ph[..., 1, :].reshape(n, h, w * 4)
-    inv, off = _color._INV, _color._INV_OFF
+    inv, off = color._INV, color._INV_OFF
     chans = []
     for c in range(3):
         val = (y2 * inv[c, 0] + u2 * inv[c, 1] + v2 * inv[c, 2]
