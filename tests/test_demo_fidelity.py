@@ -103,3 +103,31 @@ def test_demo_weights_pallas_bf16_fidelity(img, demo_params, want):
     p = psnr(got, want)
     assert got.shape == want.shape
     assert p >= 50.0, f"Pallas-bf16 PSNR regressed: {p:.2f} dB (bar 50)"
+
+
+def test_demo_weights_adversarial_content_fidelity(demo_params):
+    """The >=50 dB bar must be CONTENT-INDEPENDENT at production sizes
+    (VERDICT r2 item 6): pure-random u8 input is the bf16 worst case
+    (every pixel is an edge; the error is spatially uniform, NOT border-
+    concentrated — tools/edge_error_probe.py). The chained bf16 noise->
+    scale stacks measured 48.2 dB here; the single-image quality surface
+    therefore runs the NOISE stack in f32 (pipeline._noise_dtype_for),
+    measured 51.3 dB. This pins the Converter path exactly as the CLI
+    builds it (f32 noise + bf16 scale kernels)."""
+    noise, scale = demo_params
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (512, 512, 3), dtype=np.uint8)
+    want = reference_pipeline(img, "noise_scale", 2.0,
+                              as_numpy(noise), as_numpy(scale), fast=True)
+    cfg = Config(mode="noise_scale", use_pallas=True)
+    from waifu2x_tpu.pipeline import _noise_dtype_for
+    ndt = _noise_dtype_for(cfg)
+    assert ndt == jnp.float32  # the CLI must build the f32 noise stack
+    fast_n = FastStack.build(noise, scale_input=False, interpret=True,
+                             dtype=ndt)
+    fast_s = FastStack.build(scale, scale_input=True, interpret=True,
+                             dtype=jnp.bfloat16)
+    got = Converter(cfg, noise, scale, fast_n, fast_s).process_bgr_u8(img)
+    p = psnr(got, want)
+    assert got.shape == want.shape
+    assert p >= 50.0, f"adversarial-content PSNR below bar: {p:.2f} dB"

@@ -304,6 +304,12 @@ def test_process_yuv_respects_volume_cap(params, fast, rng, monkeypatch):
     monkeypatch.setattr(pl, "scale2x_yuv_s2d", counting_scale)
     monkeypatch.setattr(FastStack, "noise", counting_noise)
     monkeypatch.setattr(pl, "BAND_PX", 16 * 16)  # tiny cap -> must band
+    # fresh Converter: the noise step is jitted per converter, so the
+    # banding decision is baked in at trace time — the counted run must
+    # trace under the patched BAND_PX (a cached trace would hide the
+    # calls from the counters while still being banded per ITS OWN cap)
+    conv = Converter(Config(mode="noise_scale", use_pallas=True),
+                     params, params, fast_n, fast)
     got = np.asarray(conv.process_yuv(yuv))
     np.testing.assert_array_equal(got, ref)
     assert calls["scale"] >= 2 and calls["noise"] >= 2, calls

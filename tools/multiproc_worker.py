@@ -1,0 +1,133 @@
+"""Worker for the 2-process CPU-cluster test (tests/test_multiprocess.py).
+
+Executes the REAL multi-process branches of parallel/multihost.py —
+`jax.distributed.initialize` (multihost.initialize) and
+`make_array_from_process_local_data` (multihost.shard_host_batch) — that a
+single-process virtual mesh can never reach. Each process owns 4 virtual
+CPU devices (8 global), builds the ("dp","sp") global mesh with dp spanning
+processes, feeds only ITS OWN frames, runs the sharded fused 2x step
+(parallel/fast_sharded.py, interpret-mode kernels on CPU) and the sharded
+train step, and asserts its addressable output shards are BIT-EQUAL to a
+locally computed single-process reference.
+
+This is the TPU-native replacement for the reference's only "communication
+backend" — shared-memory std::thread fan-out (modelHandler.cpp:42-69);
+here every host runs the same program and XLA collectives move the halos.
+
+Launched by the test as:
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=4 \
+  python tools/multiproc_worker.py --coord localhost:PORT --procs 2 --rank R
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--coord", required=True)
+    ap.add_argument("--procs", type=int, required=True)
+    ap.add_argument("--rank", type=int, required=True)
+    args = ap.parse_args()
+
+    # cluster init must precede every other JAX call; a multi-process CPU
+    # backend additionally needs a cross-process collectives impl selected
+    # BEFORE the backend initializes (without it each process builds a
+    # single-process CPU client and process_count() stays 1)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+    from waifu2x_tpu.parallel import multihost
+    multihost.initialize(coordinator_address=args.coord,
+                         num_processes=args.procs, process_id=args.rank)
+
+    import jax.numpy as jnp
+
+    assert jax.process_count() == args.procs, jax.process_count()
+    assert jax.device_count() == 4 * args.procs, jax.device_count()
+    assert len(jax.local_devices()) == 4
+
+    mesh = multihost.global_mesh()          # dp = procs, sp = 4
+    assert mesh.devices.shape == (args.procs, 4)
+
+    # deterministic global batch: every process synthesizes ALL frames (for
+    # the reference check) but feeds only its own dp slice to the cluster
+    rng = np.random.default_rng(0)
+    frames = rng.random((2 * args.procs, 24, 40, 3), dtype=np.float32)
+    n_local = frames.shape[0] // args.procs
+    local = frames[args.rank * n_local:(args.rank + 1) * n_local]
+    gbatch = multihost.shard_host_batch(local, mesh)
+    assert gbatch.shape == frames.shape
+
+    from waifu2x_tpu.models.srcnn import WAIFU2X_7LAYER, init_params
+    from waifu2x_tpu.parallel.fast_sharded import scale2x_u8_s2d_sharded
+    from waifu2x_tpu.pipeline import FastStack, scale2x_batch_u8_s2d
+
+    params = init_params(jax.random.PRNGKey(5), WAIFU2X_7LAYER)
+    fast = FastStack.build(params, scale_input=True)   # interpret on CPU
+
+    out = scale2x_u8_s2d_sharded(gbatch, fast, mesh)
+
+    # single-process reference, computed entirely locally
+    ref = np.asarray(scale2x_batch_u8_s2d(jnp.asarray(frames), fast))
+    for shard in out.addressable_shards:
+        got = np.asarray(shard.data)
+        want = ref[shard.index]
+        assert got.shape == want.shape, (got.shape, want.shape)
+        assert np.array_equal(got, want), (
+            f"rank {args.rank}: shard {shard.index} differs "
+            f"(maxdiff {np.abs(got.astype(int) - want.astype(int)).max()})")
+
+    # sharded TRAIN step across processes: dp x sp sharded batch,
+    # all-reduced grads — exercises cross-process collectives beyond the
+    # inference ppermute, and the replicated-params device_put path
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from waifu2x_tpu.train.train import (
+        TrainConfig,
+        make_sharded_train_step,
+        make_train_step,
+    )
+
+    tc = TrainConfig(batch_size=2 * args.procs, crop_size=32)
+    opt = tc.make_optimizer()
+    step = make_sharded_train_step(mesh, opt)
+    crop = 32
+    xb = rng.random((2 * args.procs, crop, crop, 1), dtype=np.float32)
+    yb = rng.random((2 * args.procs, crop - 14, crop - 14, 1),
+                    dtype=np.float32)
+    repl = NamedSharding(mesh, P())
+    params_r = jax.device_put(params, repl)
+    opt_state_r = jax.device_put(opt.init(params), repl)
+    x_g = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("dp", None, "sp", None)),
+        xb[args.rank * n_local:(args.rank + 1) * n_local], xb.shape)
+    y_g = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("dp")),
+        yb[args.rank * n_local:(args.rank + 1) * n_local], yb.shape)
+    _, _, loss = step(params_r, opt_state_r, x_g, y_g)
+    loss = float(loss)
+
+    # single-process reference step on the full batch
+    ref_step = make_train_step(opt)
+    _, _, ref_loss = ref_step(params, opt.init(params),
+                              jnp.asarray(xb), jnp.asarray(yb))
+    ref_loss = float(ref_loss)
+    assert abs(loss - ref_loss) <= 1e-5 * max(1.0, abs(ref_loss)), (
+        f"rank {args.rank}: sharded train loss {loss} != {ref_loss}")
+    print(f"rank {args.rank}: train step loss {loss:.6f} "
+          f"(matches single-process {ref_loss:.6f})", flush=True)
+
+    print(f"rank {args.rank}: OK ({jax.process_count()} processes, "
+          f"{jax.device_count()} devices)", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -97,6 +97,14 @@ def main() -> int:
                          "long runs are otherwise host-synthesis-bound)")
     ap.add_argument("--out", default=None,
                     help="output JSON (default: models/<kind>_demo name)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="base RNG seed: corpus synthesis uses `seed`, "
+                         "worker i draws from `seed*1000 + 1000 + i`. "
+                         "NOTE batch CONTENT is seed-determined but batch "
+                         "ARRIVAL ORDER is thread-scheduling-dependent, so "
+                         "shipped weights are reproducible only up to SGD "
+                         "batch order; the JSON records seed/steps/workers "
+                         "in `provenance` for the record")
     args = ap.parse_args()
     if args.out is None:
         args.out = ("models/scale2.0x_demo.json" if args.kind == "scale"
@@ -113,7 +121,7 @@ def main() -> int:
     from waifu2x_tpu.train.train import TrainConfig, train_loop
     from waifu2x_tpu.utils.metrics import psnr
 
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(args.seed)
     train_imgs = [synth_image(rng) for _ in range(args.images)]
     test_imgs = [synth_image(rng) for _ in range(8)]
     opts = PairOptions(crop_size=args.crop)
@@ -135,7 +143,7 @@ def main() -> int:
                for i in range(workers)]
 
         def worker(i, n):
-            wrng = np.random.default_rng(1000 + i)
+            wrng = np.random.default_rng(args.seed * 1000 + 1000 + i)
             for _ in range(n):
                 q.put(make_batch(train_imgs, args.batch, args.kind, wrng,
                                  opts, noise_level=args.noise_level))
@@ -180,6 +188,22 @@ def main() -> int:
     print(f"exported reference-format weights to {args.out} "
           f"(reloads cleanly: {len(reloaded)} layers, "
           f"reload PSNR {eval_psnr(reloaded):.2f} dB)")
+    # provenance sidecar (the model JSON itself must stay a bare layer
+    # array — the reference loader's schema): training config + held-out
+    # metric, so every shipped weight file has a recorded number
+    import json as _json
+    prov = {
+        "script": "tools/train_demo.py",
+        "kind": args.kind, "noise_level": args.noise_level,
+        "steps": args.steps, "batch": args.batch, "crop": args.crop,
+        "images": args.images, "workers": args.workers, "seed": args.seed,
+        "final_train_mse": float(np.mean(losses[-20:])),
+        "heldout_y_psnr_db": round(trained, 2),
+        "heldout_y_psnr_untrained_db": round(base_in, 2),
+    }
+    with open(args.out + ".provenance.json", "w") as f:
+        _json.dump(prov, f, indent=1)
+    print(f"provenance -> {args.out}.provenance.json")
     return 0
 
 

@@ -162,7 +162,41 @@ def main(argv: list[str] | None = None) -> int:
     else:
         profile_ctx = contextlib.nullcontext()
 
+    # Multiple inputs with stream-compatible settings ride the dispatch-
+    # ahead StreamConverter (per-shape batching, device kept busy across
+    # files) instead of a serial per-image loop. Conditions: the fused
+    # stacks must exist (TPU present, flagship model), the scale part must
+    # be exactly one 2x iteration with no shrink (the stream's contract),
+    # no alpha handling, and every image big enough for the fused path's
+    # fidelity gate (SMALL_IMG_PX) unless --pallas on forces it.
+    from waifu2x_tpu.pipeline import SMALL_IMG_PX, scale_plan
+    stream_ok = (
+        len(imgs) > 1 and cfg.alpha == "ignore"
+        and (cfg.mode == "noise" or scale_plan(cfg.scale_ratio) == (1, 0.0))
+        and (cfg.mode == "noise" or converter.fast_scale is not None)
+        and (cfg.mode == "scale" or converter.fast_noise is not None)
+        and (cfg.use_pallas is True
+             or all(im.shape[0] * im.shape[1] >= SMALL_IMG_PX
+                    for im in imgs)))
+
     total_mp = 0.0
+    if stream_ok:
+        from waifu2x_tpu.stream import StreamConverter
+        sc = StreamConverter(fast=converter.fast_scale,
+                             fast_noise=converter.fast_noise, mode=cfg.mode)
+        with profile_ctx:
+            for path, out in zip(inputs, sc.process_frames(imgs)):
+                out_name = w2x_io.auto_output_name(
+                    path, cfg.mode, cfg.noise_level, cfg.scale_ratio)
+                w2x_io.imwrite_bgr(out_name, out)
+                total_mp += out.shape[0] * out.shape[1] / 1e6
+                log.info("wrote %s", out_name)
+        dt = time.perf_counter() - t0
+        log.info("%d file(s), %.2f MP in %.3fs (%.2f MP/s incl. compile)",
+                 len(inputs), total_mp, dt, total_mp / dt)
+        log.info("process successfully done!")
+        return 0
+
     with profile_ctx:
         for path, img in zip(inputs, imgs):
             alpha = None

@@ -42,20 +42,27 @@ def identity_params(spec: ModelSpec = WAIFU2X_7LAYER):
 
 def ensure_default_models(model_dir: str,
                           spec: ModelSpec = WAIFU2X_7LAYER) -> list[str]:
-    """Materialize any missing reference model file: prefer the shipped
-    TPU-trained demo weights (models/*_demo.json, trained by
+    """Materialize missing or STALE reference model files: prefer the
+    shipped TPU-trained demo weights (models/*_demo.json, trained by
     tools/train_demo.py and committed to the repo), fall back to
-    placeholder identity models. Returns the list of files written."""
+    placeholder identity models. A *_model.json previously copied from a
+    demo is refreshed when the demo file is newer (retrained weights must
+    reach users who already materialized the old copy); a user's own
+    *_model.json (no demo sibling) is never touched. Returns the list of
+    files written."""
     os.makedirs(model_dir, exist_ok=True)
     written = []
     params = None
     for name in DEFAULT_MODEL_NAMES:
         path = os.path.join(model_dir, name)
-        if os.path.exists(path):
-            continue
         demo = os.path.join(model_dir, name.replace("_model.json",
                                                     "_demo.json"))
-        if os.path.exists(demo):
+        has_demo = os.path.exists(demo)
+        if os.path.exists(path):
+            if not (has_demo
+                    and os.path.getmtime(demo) > os.path.getmtime(path)):
+                continue
+        if has_demo:
             import shutil
             shutil.copyfile(demo, path)
         else:

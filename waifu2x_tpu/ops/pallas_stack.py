@@ -106,6 +106,14 @@ L6_WINO = _os.environ.get("W2X_L6_WINO", "0") == "1"
 # tests, PSNR-neutral in bf16 (B^T entries are exact, G only touches
 # weights — same one-time rounding as the direct pack).
 
+YOUT_F32 = _os.environ.get("W2X_YOUT", "") == "f32"
+# opt-in A/B: emit the y-only (xla-tail) kernel output as f32 instead of
+# bf16. Same [N,h,w,4] shape, but 16-byte HBM minor runs instead of 8 —
+# the 4-lane minor dim makes this write scatter-ish, and the out-only
+# probes (tools/stage_time.py) measure the run-length effect directly.
+# The xla tail consumes either dtype (it upcasts to f32 anyway), so this
+# also skips one rounding of the final Y.
+
 L7_FOLD = _os.environ.get("W2X_L7_FOLD", "1") == "1"
 # default ON (opt-out W2X_L7_FOLD=0): fold the L7 selection into the tap
 # matmul (s2d.pack_l7_fold) — zt carries lanes s*4+q accumulated over
@@ -268,13 +276,19 @@ def _leaky(x):
 def _stack_body(tr, tc, cdtype, accdt, spec, fuse_u8, l7_fold, l6_wino,
                 narrow, xa, xb, xc, xd, l1_ref, b1_ref, w2a_ref, b2a_ref,
                 w2b_ref, b2b_ref, w2c_ref, b2c_ref, w5_ref, b5_ref, w6_ref,
-                b6_ref, w6w_ref, blk_ref, sel_ref, blk2_ref, b7_ref, *rest):
-    """The whole 7-layer stack as ONE kernel body (uvp_ref present iff
-    fuse_u8). Fusing K1+K2 keeps the X4 handoff in a VMEM scratch: storing
-    a computed value into a pipelined HBM out block costs ~1.5 ms per 4
-    frames of serialized VPU time at the body's tail (measured,
-    tools/l4_shift_probe.py) and the round-trip was 1.26 GB per 16-frame
-    batch; scratch stores run at model speed."""
+                b6_ref, blk_ref, sel_ref, blk2_ref, b7_ref, *rest):
+    """The whole 7-layer stack as ONE kernel body (w6w_ref present iff
+    l6_wino, uvp_ref present iff fuse_u8). Fusing K1+K2 keeps the X4
+    handoff in a VMEM scratch: storing a computed value into a pipelined
+    HBM out block costs ~1.5 ms per 4 frames of serialized VPU time at the
+    body's tail (measured, tools/l4_shift_probe.py) and the round-trip was
+    1.26 GB per 16-frame batch; scratch stores run at model speed."""
+    if l6_wino:   # the Winograd L6 weights ride along only when used —
+        #           the default config otherwise keeps ~512 KB of dead
+        #           VMEM resident in a kernel with tight fit margins
+        w6w_ref, *rest = rest
+    else:
+        w6w_ref = None
     if fuse_u8:
         uvp_ref, out_ref, *scr = rest
     else:
@@ -481,7 +495,7 @@ def _stack_body(tr, tc, cdtype, accdt, spec, fuse_u8, l7_fold, l6_wino,
                 y = part if y is None else y + part
     y = _leaky(y + b7_ref[0, 0])                   # f32 [tr, tc, 4 phases]
     if not fuse_u8:
-        out_ref[0] = y.astype(cdtype)
+        out_ref[0] = y.astype(out_ref.dtype)
         return
     # Fused output: combine with the polyphase bicubic U/V (channel-major
     # lanes: u phases 0:4, v phases 4:8), apply OpenCV's YUV2RGB transform
@@ -619,7 +633,9 @@ def _run_stack(xcol, kp, tr, tc, ny, nx, spec, interpret=False,
         uvp_args = [uvp]
         out_shape = jax.ShapeDtypeStruct((n, ny * tr, nx * tc, 16), jnp.uint8)
     else:
-        out_shape = jax.ShapeDtypeStruct((n, ny * tr, nx * tc, 4), cdtype)
+        out_shape = jax.ShapeDtypeStruct(
+            (n, ny * tr, nx * tc, 4),
+            jnp.float32 if YOUT_F32 else cdtype)
     y = pl.pallas_call(
         functools.partial(_stack_body, tr, tc, cdtype, accdt, spec, fuse_u8,
                           l7_fold, l6_wino, narrow),
@@ -634,10 +650,11 @@ def _run_stack(xcol, kp, tr, tc, ny, nx, spec, interpret=False,
             _full((2, 384, 128)), _full((1, 256)),
             _full((2, 768, 128)), _full((1, 256)),
             _full((4, 576, 128)), _full((1, 512)),
-            _full((4, 1152, 128)), _full((1, 512)), _full((16, 128, 128)),
+            _full((4, 1152, 128)), _full((1, 512)),
             _full((512, 64)), _full((256, 4)), _full((512, 16)),
             pl.BlockSpec((1, 1), lambda nn, i, j: (0, 0),
                          memory_space=pltpu.SMEM),
+            *([_full((16, 128, 128))] if l6_wino else []),
             *uvp_specs,
         ],
         out_specs=pl.BlockSpec((1, tr, tc, out_shape.shape[-1]),
@@ -670,8 +687,8 @@ def _run_stack(xcol, kp, tr, tc, ny, nx, spec, interpret=False,
         interpret=interpret,
     )(xcol, xcol, xcol, xcol, kp["l1"], kp["b1"], kp["w2a"], kp["b2a"],
       kp["w2b"], kp["b2b"], kp["w2c"], kp["b2c"], kp["w5"], kp["b5"],
-      kp["w6"], kp["b6"], kp["w6w"], kp["l7_blk"], kp["l7_sel"],
-      kp["l7_blk2"], kp["b7"], *uvp_args)
+      kp["w6"], kp["b6"], kp["l7_blk"], kp["l7_sel"], kp["l7_blk2"],
+      kp["b7"], *([kp["w6w"]] if l6_wino else []), *uvp_args)
     return y
 
 

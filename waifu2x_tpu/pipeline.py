@@ -234,6 +234,9 @@ def _uv_phases_cmajor(yuv: jax.Array, tile) -> jax.Array:
 
 
 FUSED_TAIL = os.environ.get("W2X_TAIL", "xla")
+if FUSED_TAIL not in ("xla", "kernel"):   # fail fast on typos: a bad value
+    raise ValueError(                     # would silently select a tail
+        f"W2X_TAIL must be 'xla' or 'kernel', got {FUSED_TAIL!r}")
 # "xla" (default): the conv stack runs as the y-only fused kernel
 # (stack_scale) and the bicubic-U/V + YUV->BGR + saturate-cast tail runs
 # as a separate dense XLA program at full 128-lane width (the polyphase
@@ -404,7 +407,8 @@ def noise_batch_fast(yuv: jax.Array, fast: FastStack,
     return yuv.at[..., 0].set(jnp.concatenate(parts, axis=1)[:, :h])
 
 
-def _build_fast(params, scale_input: bool, cfg: Config) -> "FastStack | None":
+def _build_fast(params, scale_input: bool, cfg: Config,
+                dtype=None) -> "FastStack | None":
     """Resolve cfg.use_pallas to a FastStack or None (XLA path).
 
     "auto" (the default) enables the fused kernels when a TPU backend is
@@ -412,7 +416,8 @@ def _build_fast(params, scale_input: bool, cfg: Config) -> "FastStack | None":
     way an architecture the kernels can't compile falls back to the XLA
     path with a logged warning instead of crashing — the reference loader
     accepts arbitrary layer counts/widths (modelHandler.cpp:170-197) and
-    so does our XLA path."""
+    so does our XLA path. `dtype` overrides the Config-derived kernel
+    dtype (see _noise_dtype_for)."""
     want = cfg.use_pallas
     if want is False:
         return None
@@ -421,11 +426,31 @@ def _build_fast(params, scale_input: bool, cfg: Config) -> "FastStack | None":
             return None
     try:
         return FastStack.build(params, scale_input=scale_input,
-                               dtype=_kernel_dtype(cfg))
+                               dtype=dtype or _kernel_dtype(cfg))
     except ValueError as e:
         log.warning("fused Pallas path unavailable (%s); using the XLA "
                     "path", e)
         return None
+
+
+def _noise_dtype_for(cfg: Config):
+    """Kernel dtype override for the NOISE stack on the single-image
+    quality surface (Converter / convert_image / the CLI).
+
+    Chained bf16 stacks compound rounding: on pure-random content (every
+    pixel an edge — the adversarial worst case for bf16) the noise->scale
+    chain measured 48.2 dB vs the >=50 dB product bar, while each single
+    stack clears it (52.7 / 50.8 dB; tools/chain_fidelity_probe.py). An
+    f32 NOISE stack lifts the chain to 51.3 dB for ~+20% chain cost (the
+    noise stack is 1/5 of the chain's work) — the cheapest place to spend
+    precision, since the noise stack's error dominates the compound (its
+    output is amplified by the scale stack's gain). Throughput entry
+    points (noise_batch_fast, StreamConverter built directly, bench)
+    keep bf16 and the documented 0.8x-of-scale chain ceiling. Honored
+    only under compute_dtype="auto"; explicit user choices win."""
+    if cfg.mode == "noise_scale" and cfg.compute_dtype == "auto":
+        return jnp.float32
+    return None
 
 
 @jax.jit
@@ -457,11 +482,35 @@ class Converter:
     scale_params: tuple | None = None
     fast_noise: "FastStack | None" = None
     fast_scale: "FastStack | None" = None
+    # lazily-built jitted entry points (per-converter cache; jax.jit then
+    # caches per input shape as usual)
+    _jits: dict = dataclasses.field(default_factory=dict, repr=False)
+
+    def _noise_fast_jit(self):
+        """ONE-dispatch denoise step: jitting noise_batch_fast collapses
+        the s2d im2col build + fused kernel + d2s merge into a single
+        program. At ~7 ms of device compute per batch the noise workload
+        is otherwise at the mercy of the ~3 ms per-dispatch relay latency
+        (bench.py measured 34-62 MP/s unjitted vs 134+ jitted at 256^2);
+        the scale step deliberately stays multi-program (see _fused_step's
+        layout-pathology note)."""
+        if "noise" not in self._jits:
+            fast = self.fast_noise
+            self._jits["noise"] = jax.jit(
+                lambda yuv: noise_batch_fast(yuv, fast))
+        return self._jits["noise"]
 
     def _fast_ok(self, fast: "FastStack | None", px: int) -> bool:
         """Use the fused kernels for this plane? 'auto' keeps tiny images
         on the XLA path for fidelity (see SMALL_IMG_PX); an explicit
-        use_pallas=True honors the user's choice at any size."""
+        use_pallas=True honors the user's choice at any size.
+
+        `px` is the pixel count of the plane handed to the phase (the
+        full-res plane for noise, the low-res input for scale — whose
+        output is 4x larger). The asymmetry is intentional: the bf16 edge
+        rounding that motivates SMALL_IMG_PX lives on the INPUT borders,
+        and both phases see `px` input pixels; measured dB by input size
+        is what set the threshold (see SMALL_IMG_PX)."""
         if fast is None:
             return False
         return self.cfg.use_pallas is True or px >= SMALL_IMG_PX
@@ -473,31 +522,34 @@ class Converter:
         if cfg.mode in ("noise", "noise_scale"):
             noise_params = load_model_json(
                 model_file_for(cfg.model_dir, True, cfg.noise_level))
-            fast_noise = _build_fast(noise_params, False, cfg)
+            fast_noise = _build_fast(noise_params, False, cfg,
+                                     dtype=_noise_dtype_for(cfg))
         if cfg.mode in ("scale", "noise_scale"):
             scale_params = load_model_json(model_file_for(cfg.model_dir, False))
             fast_scale = _build_fast(scale_params, True, cfg)
         return cls(cfg, noise_params, scale_params, fast_noise, fast_scale)
 
+    def _apply_noise(self, yuv: jax.Array) -> jax.Array:
+        if self._fast_ok(self.fast_noise, yuv.shape[0] * yuv.shape[1]):
+            # noise_batch_fast applies the BAND_PX per-dispatch volume
+            # cap — a single 8K image through the public API must take
+            # the same banded path as the batch pipelines
+            return self._noise_fast_jit()(yuv[None])[0]
+        return _noise_phase(yuv, self.noise_params, self.cfg)
+
+    def _apply_scale_iter(self, yuv: jax.Array) -> jax.Array:
+        if self._fast_ok(self.fast_scale, yuv.shape[0] * yuv.shape[1]):
+            return scale2x_batch_fast(yuv[None], self.fast_scale)[0]
+        return _scale_step(yuv, self.scale_params, self.cfg)
+
     def process_yuv(self, yuv: jax.Array) -> jax.Array:
         cfg = self.cfg
         if self.noise_params is not None:
-            if self._fast_ok(self.fast_noise,
-                             yuv.shape[0] * yuv.shape[1]):
-                # noise_batch_fast applies the BAND_PX per-dispatch volume
-                # cap — a single 8K image through the public API must take
-                # the same banded path as the batch pipelines
-                yuv = noise_batch_fast(yuv[None], self.fast_noise)[0]
-            else:
-                yuv = _noise_phase(yuv, self.noise_params, cfg)
+            yuv = self._apply_noise(yuv)
         if self.scale_params is not None:
             iters, shrink = scale_plan(cfg.scale_ratio)
             for _ in range(iters):
-                if self._fast_ok(self.fast_scale,
-                                 yuv.shape[0] * yuv.shape[1]):
-                    yuv = scale2x_batch_fast(yuv[None], self.fast_scale)[0]
-                else:
-                    yuv = _scale_step(yuv, self.scale_params, cfg)
+                yuv = self._apply_scale_iter(yuv)
             if shrink != 0.0:
                 h, w, _ = yuv.shape
                 # int truncation as in main.cpp:160-165
@@ -505,9 +557,39 @@ class Converter:
                 yuv = _shrink(yuv, dsize)
         return yuv
 
+    def _final_fast_u8(self, yuv: jax.Array) -> "np.ndarray | None":
+        """The flagship single-image path: when the conversion ENDS with a
+        fused-path 2x iteration (no shrink after it), run that last
+        iteration through scale2x_batch_u8_fused — the dense-XLA-tail u8
+        kernel the throughput paths use — and interleave on the host
+        (zero-flop u8 reshape). The generic path would materialize the
+        full-res f32 YUV on device and pay a device d2s + separate
+        YUV->BGR/u8 program for nothing (VERDICT r2 item 3). Returns the
+        u8 BGR image, or None when this conversion doesn't end that way
+        (shrink step, XLA path, tiny image, noise-only mode)."""
+        if self.scale_params is None:
+            return None
+        iters, shrink = scale_plan(self.cfg.scale_ratio)
+        if iters < 1 or shrink != 0.0:
+            return None
+        h, w = yuv.shape[0], yuv.shape[1]
+        hN, wN = h << (iters - 1), w << (iters - 1)  # last iteration input
+        if not self._fast_ok(self.fast_scale, hN * wN):
+            return None
+        if self.noise_params is not None:
+            yuv = self._apply_noise(yuv)
+        for _ in range(iters - 1):
+            yuv = self._apply_scale_iter(yuv)
+        from waifu2x_tpu.ops.s2d import d2s_host_cmajor
+        out = scale2x_batch_u8_fused(yuv[None], self.fast_scale)
+        return d2s_host_cmajor(np.asarray(out))[0]
+
     def process_bgr_u8(self, bgr_u8: np.ndarray) -> np.ndarray:
         """uint8 BGR in, uint8 BGR out — the whole main.cpp math path."""
         yuv = _to_yuv(jnp.asarray(bgr_u8))
+        out = self._final_fast_u8(yuv)
+        if out is not None:
+            return out
         yuv = self.process_yuv(yuv)
         return np.asarray(_to_bgr_u8(yuv))
 
@@ -536,7 +618,8 @@ def convert_image(bgr_u8: np.ndarray, cfg: Config,
     fast_noise = fast_scale = None
     if noise_params is not None:
         validate_params(noise_params)
-        fast_noise = _build_fast(noise_params, False, cfg)
+        fast_noise = _build_fast(noise_params, False, cfg,
+                                 dtype=_noise_dtype_for(cfg))
     if scale_params is not None:
         validate_params(scale_params)
         fast_scale = _build_fast(scale_params, True, cfg)

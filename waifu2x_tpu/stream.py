@@ -79,6 +79,18 @@ class StreamConverter:
             raise ValueError(f"mode {self.mode!r} needs a scale FastStack")
         if self.mode != "scale" and self.fast_noise is None:
             raise ValueError(f"mode {self.mode!r} needs a noise FastStack")
+        # ONE-dispatch denoise: jit collapses im2col + kernel + d2s (+ u8
+        # cast for noise-only) into a single program — the noise workload
+        # is otherwise dominated by per-dispatch relay latency (~3 ms per
+        # program vs ~7 ms of compute per batch; bench.py measured 34-62
+        # MP/s unjitted vs 134+ jitted at 256^2). The SCALE step stays
+        # multi-program on purpose (pipeline._fused_step's layout note).
+        if self.mode == "noise":
+            self._noise_jit = jax.jit(lambda yuv: _to_bgr_u8_batch(
+                noise_batch_fast(yuv, self.fast_noise)))
+        elif self.mode == "noise_scale":
+            self._noise_jit = jax.jit(
+                lambda yuv: noise_batch_fast(yuv, self.fast_noise))
 
     # -- per-shape batching ------------------------------------------------
 
@@ -92,9 +104,9 @@ class StreamConverter:
 
     def _step(self, yuv: jax.Array) -> jax.Array:
         if self.mode == "noise":
-            return _to_bgr_u8_batch(noise_batch_fast(yuv, self.fast_noise))
+            return self._noise_jit(yuv)
         if self.mode == "noise_scale":
-            yuv = noise_batch_fast(yuv, self.fast_noise)
+            yuv = self._noise_jit(yuv)
         return scale2x_batch_u8_fused(yuv, self.fast)
 
     def _interleave(self, out: np.ndarray) -> np.ndarray:
