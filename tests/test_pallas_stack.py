@@ -149,3 +149,64 @@ def test_pick_tile_valid_and_prefers_alignment():
         assert (trf + 2) * (tcf + 16) <= _MAX_CELLS // 2
     assert pick_tile(512, 512) == (64, 128)   # aligned exact divisor wins
     assert pick_tile(1080, 1920) == (60, 128)  # exact beats aligned pad
+
+
+def test_stack_scale_dense_bit_equal(kp, rng):
+    """The phase-chunked dense out layout (stack_scale_dense, W2X_YDENSE
+    A/B — docs/PERF.md round 3) must be bit-identical to the classic
+    4-lane s2d layout after un-chunking, including odd sizes where the
+    grid pads."""
+    from waifu2x_tpu.ops.pallas_stack import dense_to_s2d, stack_scale_dense
+
+    arrays, spec = kp
+    for hl, wl, tile in [(16, 16, (8, 16)), (13, 22, (16, 16))]:
+        ylow = jnp.asarray(rng.random((2, hl, wl), dtype=np.float32))
+        a = stack_scale(ylow, arrays, spec, tile=tile, interpret=True)
+        yd, tc = stack_scale_dense(ylow, arrays, spec, tile=tile,
+                                   interpret=True)
+        b = dense_to_s2d(yd, tc, hl, wl)
+        assert a.dtype == b.dtype and a.shape == b.shape
+        assert bool(jnp.all(a == b))
+
+
+def test_l6_i8_bounded_error(kp, rng):
+    """The opt-in int8 L6 path (W2X_L6_I8): runs, finite, and its
+    quantization error vs the default path stays within the measured
+    envelope (docs/PERF.md round 3: ~42.8 dB-equivalent with demo
+    weights — a throughput/quality trade kept OFF the >=50 dB default)."""
+    from waifu2x_tpu.ops.pallas_stack import _run_stack, _xcol_scale
+
+    arrays, spec = kp
+    ylow = jnp.asarray(rng.random((1, 32, 32), dtype=np.float32))
+    xcol = _xcol_scale(ylow, 16, 16)
+    a = _run_stack(xcol, arrays, 16, 16, 2, 2, spec, interpret=True)
+    b = _run_stack(xcol, arrays, 16, 16, 2, 2, spec, interpret=True,
+                   l6_i8=True)
+    d = np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32))
+    assert np.isfinite(np.asarray(b, np.float32)).all()
+    assert d.max() < 0.15 and float(np.sqrt((d ** 2).mean())) < 0.03
+
+
+def test_l6_i8_excludes_wino():
+    from waifu2x_tpu.ops.pallas_stack import _run_stack
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        _run_stack(jnp.zeros((1, 16, 16, 16), jnp.float32), {}, 16, 16,
+                   1, 1, ((), (), (), ()), interpret=True, l6_i8=True,
+                   l6_wino=True)
+
+
+def test_upto_truncation_runs(kp, rng):
+    """The forensic `upto` truncation (tools/layer_time_probe.py) must
+    stay wired: every mode compiles and emits that layer's activation
+    slice (finite where the layer is fully inside the valid region)."""
+    from waifu2x_tpu.ops.pallas_stack import _run_stack, _xcol_scale
+
+    arrays, spec = kp
+    ylow = jnp.asarray(rng.random((1, 16, 16), dtype=np.float32))
+    xcol = _xcol_scale(ylow, 16, 16)
+    for upto in (1, 2, 3, 4, 5, 6):
+        out = _run_stack(xcol, arrays, 16, 16, 1, 1, spec, interpret=True,
+                         upto=upto)
+        assert out.shape == (1, 16, 16, 4)
+        assert np.isfinite(np.asarray(out, np.float32)).all()

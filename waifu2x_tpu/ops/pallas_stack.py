@@ -114,6 +114,20 @@ YOUT_F32 = _os.environ.get("W2X_YOUT", "") == "f32"
 # The xla tail consumes either dtype (it upcasts to f32 anyway), so this
 # also skips one rounding of the final Y.
 
+L6_I8 = _os.environ.get("W2X_L6_I8", "0") == "1"
+# opt-in A/B: run layer 6's matmuls (44% of the kernel's MXU rows — the
+# in-situ layer probe tools/layer_time_probe.py) on the int8 MXU path,
+# measured 1.63x the bf16 row rate at the exact L6 shape on this chip.
+# x5 is quantized once per tile with a DYNAMIC scale (max|x5| -> sx =
+# m/127, content-independent safety; the junk compute columns beyond wc
+# are excluded from the max — they are written-but-meaningless, and col
+# wc is uninitialized scratch), weights carry per-output-channel scales
+# (w6q/w6s in pack_for_kernels), partial dots accumulate EXACTLY in
+# int32 (K<=512 of +-127^2 stays < 2^24) and convert to f32 into the
+# existing accumulator, so the only approximation is the single
+# round-to-int8 of the activations/weights. Mutually exclusive with
+# L6_WINO.
+
 L7_FOLD = _os.environ.get("W2X_L7_FOLD", "1") == "1"
 # default ON (opt-out W2X_L7_FOLD=0): fold the L7 selection into the tap
 # matmul (s2d.pack_l7_fold) — zt carries lanes s*4+q accumulated over
@@ -241,6 +255,14 @@ def pack_for_kernels(params, scale_input: bool) -> tuple[dict, tuple]:
     arrays["w5"], spec5 = pack_mid_kernel(w[4])
     arrays["w6"], spec6 = pack_mid_kernel(w[5])
     arrays["w6w"] = s2d_ops.pack_wino(w[5])     # Winograd-domain L6
+    # int8 L6 (L6_I8): symmetric per-output-channel weight quantization of
+    # the phase-sparse pack; w6s holds the per-(phase, channel) dequant
+    # scales (the activation scale is dynamic, computed in-kernel)
+    w6 = arrays["w6"]                           # [4, 1152, 128] f32
+    w6s = np.maximum(np.abs(w6).max(axis=1), 1e-12) / 127.0   # [4, 128]
+    arrays["w6q"] = np.clip(np.round(w6 / w6s[:, None, :]),
+                            -127, 127).astype(np.int8)
+    arrays["w6s"] = w6s.astype(np.float32)
     return arrays, (spec3, spec4, spec5, spec6)
 
 
@@ -250,9 +272,13 @@ def prep_params(params, scale_input: bool, dtype=jnp.bfloat16):
     arrays, spec = pack_for_kernels(params, scale_input)
     out = {}
     for k, v in arrays.items():
-        keep_f32 = k.startswith("b") or k == "l7_sel"  # sel multiplies the
+        if k == "w6q":                                 # int8 stays int8
+            out[k] = jnp.asarray(v, jnp.int8)
+            continue
+        keep_f32 = (k.startswith("b") or k == "l7_sel"  # sel multiplies the
+                    or k == "w6s")                      # f32 tap partials
         out[k] = jnp.asarray(v, jnp.float32 if keep_f32 else dtype)
-    return out, spec                                   # f32 tap partials
+    return out, spec
 
 
 # ---------------------------------------------------------------------------
@@ -274,7 +300,8 @@ def _leaky(x):
 
 
 def _stack_body(tr, tc, cdtype, accdt, spec, fuse_u8, l7_fold, l6_wino,
-                narrow, xa, xb, xc, xd, l1_ref, b1_ref, w2a_ref, b2a_ref,
+                l6_i8, narrow, dense_out, upto, xa, xb, xc, xd, l1_ref,
+                b1_ref, w2a_ref, b2a_ref,
                 w2b_ref, b2b_ref, w2c_ref, b2c_ref, w5_ref, b5_ref, w6_ref,
                 b6_ref, blk_ref, sel_ref, blk2_ref, b7_ref, *rest):
     """The whole 7-layer stack as ONE kernel body (w6w_ref present iff
@@ -289,11 +316,18 @@ def _stack_body(tr, tc, cdtype, accdt, spec, fuse_u8, l7_fold, l6_wino,
         w6w_ref, *rest = rest
     else:
         w6w_ref = None
+    if l6_i8:     # int8 L6: w6_ref IS the int8 weights (same slot/shape —
+        #           no dead bf16 copy rides along); only the per-channel
+        #           dequant scale vector is an extra operand
+        w6s_ref, *rest = rest
+    else:
+        w6s_ref = None
     if fuse_u8:
         uvp_ref, out_ref, *scr = rest
     else:
         out_ref, *scr = rest
     yacc = scr.pop() if l6_wino else None
+    x5q = scr.pop() if l6_i8 else None
     if len(scr) == 8:
         xin, x1, x2, x3, x4, x5, zt, acc = scr
     elif len(scr) == 7:         # l1_direct: no xin assembly scratch
@@ -354,6 +388,17 @@ def _stack_body(tr, tc, cdtype, accdt, spec, fuse_u8, l7_fold, l6_wino,
         # L1: one matmul over the 16-lane im2col
         x1[:] = _leaky(_dot3(xin[:], l1_ref[:], accdt)
                        + b1_ref[0].astype(accdt)).astype(cdtype)
+
+    # `upto`: forensic truncation (tools/layer_time_probe.py) — stop after
+    # layer k and emit a 4-lane slice of its activation, IN SITU: the same
+    # specs, scratches and VMEM pressure as the production kernel, so the
+    # deltas between consecutive k attribute real per-layer time. None in
+    # production.
+    def _trunc(buf):
+        out_ref[0] = buf[0:tr, 0:tc, 0:4].astype(out_ref.dtype)
+
+    if upto == 1:
+        return _trunc(x1)
     # L2-L4: 4-tap shift-matmuls with dense packed W2. Tap partials
     # accumulate IN PLACE into one f32 scratch — accumulating by value made
     # Mosaic hold every partial product alive at once (>100 MB of scoped
@@ -368,6 +413,8 @@ def _stack_body(tr, tc, cdtype, accdt, spec, fuse_u8, l7_fold, l6_wino,
         return _leaky(a[...] + b_ref[0].astype(accdt)).astype(cdtype)
 
     x2[:, 0:wc, :] = block4(x1, w2a_ref, b2a_ref, tr + 5)
+    if upto == 2:
+        return _trunc(x2)
 
     # L3-L4: phase-pair matmuls (see pack_pair_kernel) — N packed to 2co,
     # K-union 12ci. Default: both row-parity halves are stored in ONE
@@ -398,10 +445,16 @@ def _stack_body(tr, tc, cdtype, accdt, spec, fuse_u8, l7_fold, l6_wino,
             dst[:, 0:wc, :] = jnp.concatenate(vals, axis=-1)
 
     block_pair(x2, w2b_ref, b2b_ref, spec3, tr + 4, x3)
+    if upto == 3:
+        return _trunc(x3)
     block_pair(x3, w2c_ref, b2c_ref, spec4, tr + 3, x4)
+    if upto == 4:
+        return _trunc(x4)
 
     # L5: phase-sparse mid layer out of the X4 scratch
     _mid_sparse(x4, w5_ref, b5_ref, spec5, tr + 2, wc, 128, cdtype, x5, acc)
+    if upto == 5:
+        return _trunc(x5)
     # L6 fused with L7's block-diagonal tap matmul, one output phase at a
     # time: the full 512-lane X6 never exists (VMEM), and the tap partials
     # stay f32 (zt is the only intermediate the XLA path doesn't round to
@@ -464,6 +517,39 @@ def _stack_body(tr, tc, cdtype, accdt, spec, fuse_u8, l7_fold, l6_wino,
             x6q = _leaky(yacc[0:rows, 0:wc, q * 128:(q + 1) * 128]
                          + b6_ref[0, q * 128:(q + 1) * 128]).astype(cdtype)
             l7_tap(q, x6q)
+    elif l6_i8:
+        # int8 L6 (see L6_I8): quantize x5 once with a per-tile dynamic
+        # scale, run the same phase-sparse passes on the int8 MXU (1.63x
+        # the bf16 row rate measured at this exact shape), accumulate
+        # int32-exact per group and dequantize into the f32 acc.
+        # Scale region: columns >= tc+5 of x5 are poisoned by the unwritten
+        # scratch cols >= wc propagating leftward one col per layer (NaN in
+        # interpret mode, nondeterministic stale bytes on hardware), while
+        # only cols < tc+2 influence valid output. Reduce over [0, tc+4):
+        # finite, deterministic, and a superset of the influential region.
+        m = jnp.max(jnp.abs(x5[0:tr + 2, 0:tc + 4, :].astype(jnp.float32)))
+        sx = jnp.maximum(m, jnp.float32(1e-8)) * jnp.float32(1.0 / 127.0)
+        x5q[:, 0:wc, :] = jnp.clip(
+            jnp.round(x5[0:tr + 2, 0:wc, :].astype(jnp.float32)
+                      * (jnp.float32(1.0) / sx)),
+            -127, 127).astype(jnp.int8)
+        for p, entries in enumerate(spec6):
+            a = acc.at[0:rows, 0:wc, 0:128]
+            sv = sx * w6s_ref[p]                        # [128] f32 dequant
+            for g, (Dy, Dx, lanes, k0, klen) in enumerate(entries):
+                part = jax.lax.dot_general(
+                    _gather_k(x5q, rows, wc, Dy, Dx, lanes),
+                    w6_ref[p, k0:k0 + klen, :],
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+                if g == 0:
+                    a[...] = part
+                else:
+                    a[...] += part
+            x6p = _leaky(a[...] * sv
+                         + b6_ref[0, p * 128:(p + 1) * 128].astype(accdt)
+                         ).astype(cdtype)
+            l7_tap(p, x6p)
     else:
         for p, entries in enumerate(spec6):
             a = acc.at[0:rows, 0:wc, 0:128]
@@ -478,6 +564,8 @@ def _stack_body(tr, tc, cdtype, accdt, spec, fuse_u8, l7_fold, l6_wino,
                          + b6_ref[0, p * 128:(p + 1) * 128].astype(accdt)
                          ).astype(cdtype)
             l7_tap(p, x6p)
+    if upto == 6:
+        return _trunc(zt)
     y = None
     if l7_fold:
         # the 9-tap shift-sum is four 4-lane slice adds, no MXU pass
@@ -495,7 +583,18 @@ def _stack_body(tr, tc, cdtype, accdt, spec, fuse_u8, l7_fold, l6_wino,
                 y = part if y is None else y + part
     y = _leaky(y + b7_ref[0, 0])                   # f32 [tr, tc, 4 phases]
     if not fuse_u8:
-        out_ref[0] = y.astype(out_ref.dtype)
+        if dense_out:
+            # phase-chunked DENSE out block (tr, 4*tc): lane-extract the four
+            # phase planes and store at full 128-lane width. The 4-lane
+            # (tr, tc, 4) out block costs ~0.76 ms/4f of store relayout at
+            # the headline shape (tools/stage_time.py outonly vs outdense)
+            # while the in-kernel extract+concat is ~0.1 (outcat) — the
+            # phase un-chunking moves to one dense XLA transpose in the
+            # tail, where it runs at full VPU width.
+            out_ref[0] = jnp.concatenate(
+                [y[:, :, q] for q in range(4)], axis=-1).astype(out_ref.dtype)
+        else:
+            out_ref[0] = y.astype(out_ref.dtype)
         return
     # Fused output: combine with the polyphase bicubic U/V (channel-major
     # lanes: u phases 0:4, v phases 4:8), apply OpenCV's YUV2RGB transform
@@ -562,11 +661,15 @@ def _full(shape, dtype=None):
 @functools.partial(
     jax.jit,
     static_argnames=("tr", "tc", "ny", "nx", "spec", "interpret",
-                     "acc_f32", "l1_direct", "l7_fold", "l6_wino"))
+                     "acc_f32", "l1_direct", "l7_fold", "l6_wino",
+                     "l6_i8", "dense_out", "upto"))
 def _run_stack(xcol, kp, tr, tc, ny, nx, spec, interpret=False,
                acc_f32=True, uvp=None, l1_direct=True, l7_fold=None,
-               l6_wino=None):
-    """uvp=None: emit converted Y in s2d layout (cdtype). uvp given
+               l6_wino=None, l6_i8=None, dense_out=False, upto=None):
+    """uvp=None: emit converted Y in s2d layout (cdtype) — or, with
+    dense_out, phase-chunked dense layout [N, ny*tr, nx*4*tc] where within
+    tile column j the chunks [j*4tc + q*tc : j*4tc + (q+1)*tc] hold phase q
+    (see _stack_body; undo with dense_to_s2d). uvp given
     ([N, ny*tr, nx*tc, 8] channel-major U/V phases): K2 additionally fuses
     the YUV->BGR + saturate-cast and emits u8, lanes (c*4 + phase)."""
     if xcol.shape[-1] != 16:
@@ -580,6 +683,10 @@ def _run_stack(xcol, kp, tr, tc, ny, nx, spec, interpret=False,
         l7_fold = L7_FOLD
     if l6_wino is None:
         l6_wino = L6_WINO
+    if l6_i8 is None:
+        l6_i8 = L6_I8
+    if l6_i8 and l6_wino:
+        raise ValueError("L6_I8 and L6_WINO are mutually exclusive")
 
     def _xblk(di, dj):
         # The kernel assembles its overlapping (tr+6, tc+16) input window
@@ -632,13 +739,29 @@ def _run_stack(xcol, kp, tr, tc, ny, nx, spec, interpret=False,
                                   memory_space=pltpu.VMEM)]
         uvp_args = [uvp]
         out_shape = jax.ShapeDtypeStruct((n, ny * tr, nx * tc, 16), jnp.uint8)
+    elif dense_out:
+        out_shape = jax.ShapeDtypeStruct(
+            (n, ny * tr, nx * 4 * tc),
+            jnp.float32 if YOUT_F32 else cdtype)
     else:
         out_shape = jax.ShapeDtypeStruct(
             (n, ny * tr, nx * tc, 4),
             jnp.float32 if YOUT_F32 else cdtype)
+    if upto is not None:                    # forensic truncation: 4-lane
+        out_shape = jax.ShapeDtypeStruct(   # slice of layer `upto`'s
+            (n, ny * tr, nx * tc, 4), cdtype)   # activation
+        dense_out = False
+    if dense_out and not fuse_u8:
+        out_spec = pl.BlockSpec((1, tr, 4 * tc), lambda nn, i, j: (nn, i, j),
+                                memory_space=pltpu.VMEM)
+    else:
+        out_spec = pl.BlockSpec((1, tr, tc, out_shape.shape[-1]),
+                                lambda nn, i, j: (nn, i, j, 0),
+                                memory_space=pltpu.VMEM)
     y = pl.pallas_call(
         functools.partial(_stack_body, tr, tc, cdtype, accdt, spec, fuse_u8,
-                          l7_fold, l6_wino, narrow),
+                          l7_fold, l6_wino, l6_i8, narrow,
+                          dense_out and not fuse_u8, upto),
         grid=(n, ny, nx),
         in_specs=[
             _xblk(0, 0),
@@ -655,11 +778,10 @@ def _run_stack(xcol, kp, tr, tc, ny, nx, spec, interpret=False,
             pl.BlockSpec((1, 1), lambda nn, i, j: (0, 0),
                          memory_space=pltpu.SMEM),
             *([_full((16, 128, 128))] if l6_wino else []),
+            *([_full((4, 128))] if l6_i8 else []),
             *uvp_specs,
         ],
-        out_specs=pl.BlockSpec((1, tr, tc, out_shape.shape[-1]),
-                               lambda nn, i, j: (nn, i, j, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         out_shape=out_shape,
         scratch_shapes=(
             [
@@ -682,13 +804,17 @@ def _run_stack(xcol, kp, tr, tc, ny, nx, spec, interpret=False,
             pltpu.VMEM((tr + 5, tc + 16, 128), accdt),    # shared acc
         ] + ([
             pltpu.VMEM((tr + 1, tc + 16, 512), jnp.float32),  # wino yacc
-        ] if l6_wino else []),
+        ] if l6_wino else []) + ([
+            pltpu.VMEM((tr + 2, tc + 16, 512), jnp.int8),     # x5q (int8 L6)
+        ] if l6_i8 else []),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(xcol, xcol, xcol, xcol, kp["l1"], kp["b1"], kp["w2a"], kp["b2a"],
       kp["w2b"], kp["b2b"], kp["w2c"], kp["b2c"], kp["w5"], kp["b5"],
-      kp["w6"], kp["b6"], kp["l7_blk"], kp["l7_sel"], kp["l7_blk2"],
-      kp["b7"], *([kp["w6w"]] if l6_wino else []), *uvp_args)
+      kp["w6q"] if l6_i8 else kp["w6"], kp["b6"], kp["l7_blk"],
+      kp["l7_sel"], kp["l7_blk2"], kp["b7"],
+      *([kp["w6w"]] if l6_wino else []),
+      *([kp["w6s"]] if l6_i8 else []), *uvp_args)
     return y
 
 
@@ -801,6 +927,36 @@ def stack_scale(ylow: jax.Array, kernel_params, spec,
     y = _run_stack(xcol, kernel_params, tr, tc, ny, nx, spec,
                    interpret=interpret, acc_f32=acc_f32)
     return y[:, :hl, :wl, :]
+
+
+def stack_scale_dense(ylow: jax.Array, kernel_params, spec,
+                      tile: tuple[int, int] | None = None,
+                      interpret: bool = False,
+                      acc_f32: bool = True) -> tuple[jax.Array, int]:
+    """SCALE-path fused stack emitting the kernel's phase-chunked DENSE
+    layout: [N, hp, nx*4*tc] uncropped, where within tile column j the
+    columns [j*4tc + q*tc : j*4tc + (q+1)*tc] hold phase q = A*2+B. The
+    dense (tr, 4*tc) out block stores at full 128-lane width (the classic
+    4-lane-minor block costs ~0.76 ms/4f of relayout at the headline shape);
+    the consumer un-chunks with ONE dense XLA transpose (dense_to_s2d) fused
+    into its own program. Returns (ydense, tc)."""
+    n, hl, wl = ylow.shape
+    tr, tc = tile or pick_tile(hl, wl, ylow.dtype.itemsize)
+    ny, nx = _grid_for(hl, wl, tr, tc)
+    xcol = _xcol_scale(ylow, tr, tc)
+    y = _run_stack(xcol, kernel_params, tr, tc, ny, nx, spec,
+                   interpret=interpret, acc_f32=acc_f32, dense_out=True)
+    return y, tc
+
+
+def dense_to_s2d(ydense: jax.Array, tc: int, hl: int, wl: int) -> jax.Array:
+    """Un-chunk stack_scale_dense output to the classic s2d [N, hl, wl, 4]
+    (one XLA transpose; jit into the consumer so it fuses with its math)."""
+    n, hp, wd = ydense.shape
+    nx = wd // (4 * tc)
+    y5 = ydense.reshape(n, hp, nx, 4, tc)
+    y4 = jnp.transpose(y5, (0, 1, 2, 4, 3)).reshape(n, hp, nx * tc, 4)
+    return y4[:, :hl, :wl, :]
 
 
 def stack_scale_fused_u8(ylow: jax.Array, uvp: jax.Array, kernel_params,

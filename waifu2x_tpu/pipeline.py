@@ -237,6 +237,15 @@ FUSED_TAIL = os.environ.get("W2X_TAIL", "xla")
 if FUSED_TAIL not in ("xla", "kernel"):   # fail fast on typos: a bad value
     raise ValueError(                     # would silently select a tail
         f"W2X_TAIL must be 'xla' or 'kernel', got {FUSED_TAIL!r}")
+YDENSE = os.environ.get("W2X_YDENSE", "") == "1"
+# opt-in A/B: the kernel stores its converted-Y out block phase-chunked
+# DENSE (ps.stack_scale_dense) and the un-chunking transpose moves into
+# the tail. Measured NEUTRAL-to-slightly-negative on the chip (step 20.73
+# vs 20.58 ms/4f at 16x512^2): the 4-lane out-block store relayout that
+# the empty-kernel probes price at ~0.76 ms/4f (tools/stage_time.py
+# outonly vs outdense) is in reality hidden under the kernel's MXU
+# stream, while the tail's transpose is a real addition. Kept as the
+# measured negative result; bit-equal output (tests/test_pallas_stack.py).
 # "xla" (default): the conv stack runs as the y-only fused kernel
 # (stack_scale) and the bicubic-U/V + YUV->BGR + saturate-cast tail runs
 # as a separate dense XLA program at full 128-lane width (the polyphase
@@ -273,6 +282,18 @@ def _tail_u8_cmajor(y_s2d, yuv):
 _tail_u8_cmajor_jit = jax.jit(_tail_u8_cmajor)
 
 
+@partial(jax.jit, static_argnames=("tc",))
+def _tail_u8_cmajor_dense(ydense, yuv, tc):
+    """Same tail, fed by stack_scale_dense's phase-chunked dense layout:
+    the un-chunking transpose (ps.dense_to_s2d) fuses into this program, so
+    the kernel gets the cheap dense (tr, 4*tc) out store and the relayout
+    runs here at full XLA/VPU width."""
+    ps = _fast_import()
+    n, h, w, _ = yuv.shape
+    y_s2d = ps.dense_to_s2d(ydense, tc, h, w)
+    return _tail_u8_cmajor(y_s2d, yuv)
+
+
 def _fused_step(yuv, kp, tile, spec, interpret, dtype):
     # Deliberately NOT one outer jit: the U/V prep, the im2col build and
     # the kernel call run as separate programs. Collapsing them into one
@@ -284,6 +305,10 @@ def _fused_step(yuv, kp, tile, spec, interpret, dtype):
     # _xcol_scale program compiles densely at those same shapes.
     ps = _fast_import()
     if FUSED_TAIL == "xla":
+        if YDENSE:   # A/B only — measured 20.73 vs 20.58 ms/4f (see PERF.md)
+            ydense, tc = ps.stack_scale_dense(yuv[..., 0].astype(dtype), kp,
+                                              spec, tile, interpret=interpret)
+            return _tail_u8_cmajor_dense(ydense, yuv, tc)
         y_s2d = ps.stack_scale(yuv[..., 0].astype(dtype), kp, spec, tile,
                                interpret=interpret)
         return _tail_u8_cmajor_jit(y_s2d, yuv)
