@@ -31,7 +31,9 @@ import time
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="frames per dispatch (workload defaults: "
+                         "scale512 16, noise256 64, ns1080 4, stream4k 2)")
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--precision", default="default",
@@ -109,24 +111,30 @@ def main() -> int:
     params = init_params(jax.random.PRNGKey(0), WAIFU2X_7LAYER)
     rng = np.random.default_rng(0)
     if args.workload == "noise256":
+        # batch 64 default: the denoise step emits 1/4 the px of scale per
+        # cell, so smaller batches sit on the per-dispatch latency floor
+        # (138 vs 180 MP/s measured at 16 vs 64)
+        args.batch = args.batch or 64
         args.size, h, w = 256, 256, 256
     elif args.workload == "ns1080":
         # batch 4 with explicit row banding: the unbanded batch-8 noise
         # program at this size hits a pathological >30-min remote compile;
         # the banded shapes below compile in minutes and were measured
-        args.batch = min(args.batch, 4)
+        args.batch = min(args.batch or 4, 4)
         h, w = 1080, 1920
     elif args.workload == "stream4k":
         # sustained 4K 2x stream: row-banded frames, batch 2 per step
-        args.batch = min(args.batch, 2)
+        args.batch = min(args.batch or 2, 2)
         if args.iters == 20:
             args.iters = 4    # ~33 MP of output per step
         h, w = 2160, 3840
     elif args.workload == "mixed64":
+        args.batch = args.batch or 8    # = the largest per-size sub-batch
         h = w = 0  # per-group shapes below
         if args.iters == 20:
             args.iters = 2    # one pass is already ~700 MP of output
     else:
+        args.batch = args.batch or 16       # scale512 headline default
         h = w = args.size
     if args.workload == "mixed64":
         # BASELINE config[3]: a batch of 64 assorted images 720p-4K on one
@@ -156,18 +164,20 @@ def main() -> int:
     if args.impl == "pallas":
         fast = FastStack.build(params, scale_input=True, tile=tile)
         if args.workload == "noise256":
-            from waifu2x_tpu.pipeline import noise_batch_fast
+            from waifu2x_tpu.pipeline import noise_batch_u8_fused
             fast_n = FastStack.build(params, scale_input=False, tile=tile)
-            # one jitted program per batch: at ~7 ms of compute per batch
-            # this workload is otherwise dominated by per-op dispatch
-            # latency through the TPU relay
-            step = jax.jit(lambda x: noise_batch_fast(x, fast_n))
+            # dense u8 cmajor tail like the scale workloads (host
+            # interleave excluded from timing, same as scale); separate
+            # programs — one outer jit regresses (layout pathology)
+            step = lambda x: noise_batch_u8_fused(x, fast_n)  # noqa: E731
         elif args.workload == "ns1080":
-            from waifu2x_tpu.pipeline import noise_batch_fast
+            from waifu2x_tpu.pipeline import noise_y_batch_fast
             fast_n = FastStack.build(params, scale_input=False, tile=tile)
+            # plane-form chain: the denoised Y feeds the scale step's `y=`
+            # override directly — no full-res YUV rewrite between stacks
             step = lambda x: scale2x_batch_u8_fused(  # noqa: E731
-                noise_batch_fast(x, fast_n, band_rows=1024), fast,
-                band_rows=512)
+                x, fast, band_rows=512,
+                y=noise_y_batch_fast(x[..., 0], fast_n, band_rows=1024))
         else:
             step = lambda x: scale2x_batch_u8_fused(x, fast)  # noqa: E731
     else:

@@ -313,3 +313,55 @@ def test_process_yuv_respects_volume_cap(params, fast, rng, monkeypatch):
     got = np.asarray(conv.process_yuv(yuv))
     np.testing.assert_array_equal(got, ref)
     assert calls["scale"] >= 2 and calls["noise"] >= 2, calls
+
+
+def test_noise_batch_u8_fused_matches_classic(params, rng):
+    """The dense u8 cmajor noise tail (noise_batch_u8_fused) must match
+    the classic f32 path + raster BGR/u8 cast within one u8 rounding tie,
+    banded and unbanded, and interleave back with d2s_host_cmajor."""
+    from waifu2x_tpu.ops.color import saturate_cast_u8, yuv_to_bgr
+    from waifu2x_tpu.ops.s2d import d2s_host_cmajor
+    from waifu2x_tpu.pipeline import noise_batch_fast, noise_batch_u8_fused
+
+    fast_n = FastStack.build(params, scale_input=False, tile=(16, 16),
+                             interpret=True, dtype=jnp.float32)
+    yuv = jnp.asarray(rng.random((2, 24, 32, 3), dtype=np.float32))
+    ref = np.asarray(saturate_cast_u8(yuv_to_bgr(
+        noise_batch_fast(yuv, fast_n))))
+    got = d2s_host_cmajor(np.asarray(noise_batch_u8_fused(yuv, fast_n)))
+    diff = np.abs(got.astype(np.int32) - ref.astype(np.int32))
+    assert diff.max() <= 1 and (diff != 0).mean() < 0.02
+    # banded == unbanded
+    tall = jnp.asarray(rng.random((1, 64, 16, 3), dtype=np.float32))
+    whole = np.asarray(noise_batch_u8_fused(tall, fast_n, band_rows=64))
+    banded = np.asarray(noise_batch_u8_fused(tall, fast_n, band_rows=20))
+    np.testing.assert_array_equal(banded, whole)
+    # odd dims are rejected toward the classic path
+    with pytest.raises(ValueError, match="even"):
+        noise_batch_u8_fused(jnp.zeros((1, 21, 32, 3), jnp.float32), fast_n)
+
+
+def test_stream_noise_u8_path(params, rng):
+    """StreamConverter mode=noise: even frames take the dense u8 cmajor
+    tail + host interleave, odd frames the raster fallback; both match
+    the classic reference path."""
+    from waifu2x_tpu.ops.color import saturate_cast_u8, yuv_to_bgr
+    from waifu2x_tpu.pipeline import noise_batch
+    from waifu2x_tpu.stream import StreamConverter, _to_yuv_batch
+
+    fast_n = FastStack.build(params, scale_input=False, tile=(16, 16),
+                             interpret=True, dtype=jnp.float32)
+    sc = StreamConverter(fast=None, fast_noise=fast_n, mode="noise",
+                         batch=2)
+    cfg = Config(mode="noise", precision="highest", block_size=0)
+    for h, w in ((24, 32), (21, 27)):
+        frames = [rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+                  for _ in range(2)]
+        outs = list(sc.process_frames(frames))
+        yuv = _to_yuv_batch(jnp.asarray(np.stack(frames)))
+        ref = np.asarray(saturate_cast_u8(yuv_to_bgr(
+            noise_batch(yuv, params, cfg))))
+        for i, out in enumerate(outs):
+            assert out.shape == (h, w, 3) and out.dtype == np.uint8
+            diff = np.abs(out.astype(np.int32) - ref[i].astype(np.int32))
+            assert diff.max() <= 1

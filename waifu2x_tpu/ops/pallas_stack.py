@@ -1004,6 +1004,29 @@ def grid_dims(hl: int, wl: int,
     return ny * tr, nx * tc
 
 
+def stack_noise_s2d(y: jax.Array, kernel_params, spec,
+                    tile: tuple[int, int] | None = None,
+                    interpret: bool = False,
+                    acc_f32: bool = True, crop: bool = True) -> jax.Array:
+    """NOISE-path fused stack returning the converted plane in s2d layout
+    [N, h/2, w/2, 4] (phase a*2+b = full-res pixel (2i+a, 2j+b)); h and w
+    must be even. Skips the device d2s that stack_noise pays — throughput
+    surfaces interleave on the host (d2s_host_cmajor) like the scale path.
+    crop=False returns the tile-grid-padded [N, hp, wp, 4] so a consumer
+    that slices anyway (the u8 tail) can fold the crop into its own
+    program instead of paying a standalone slice dispatch."""
+    n, h, w = y.shape
+    if h % 2 or w % 2:
+        raise ValueError(f"stack_noise_s2d needs even dims, got {h}x{w}")
+    hl, wl = h // 2, w // 2
+    tr, tc = tile or pick_tile(hl, wl, y.dtype.itemsize)
+    ny, nx = _grid_for(hl, wl, tr, tc)
+    xcol = _xcol_noise(y, tr, tc)
+    ys = _run_stack(xcol, kernel_params, tr, tc, ny, nx, spec,
+                    interpret=interpret, acc_f32=acc_f32)
+    return ys[:, :hl, :wl, :] if crop else ys
+
+
 def stack_noise(y: jax.Array, kernel_params, spec,
                 tile: tuple[int, int] | None = None,
                 interpret: bool = False, acc_f32: bool = True) -> jax.Array:

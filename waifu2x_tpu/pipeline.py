@@ -197,6 +197,12 @@ class FastStack:
         return ps.stack_noise(y.astype(self.dtype), self.kp, self.spec,
                               self.tile, interpret=self.interpret)
 
+    def noise_s2d(self, y: jax.Array, crop: bool = True) -> jax.Array:
+        ps = _fast_import()
+        return ps.stack_noise_s2d(y.astype(self.dtype), self.kp, self.spec,
+                                  self.tile, interpret=self.interpret,
+                                  crop=crop)
+
 
 def scale2x_yuv_s2d(yuv: jax.Array, fast: FastStack) -> jax.Array:
     """One 2x iteration entirely on the low-res grid: f32 YUV [N, h, w, 3]
@@ -257,17 +263,11 @@ YDENSE = os.environ.get("W2X_YDENSE", "") == "1"
 # path keeps full f32 (no i16/bf16 uvp quantization). See docs/PERF.md.
 
 
-def _tail_u8_cmajor(y_s2d, yuv):
-    """Dense u8/BGR tail: converted-Y s2d [N,h,w,4] + f32 YUV [N,h,w,3] ->
-    uint8 BGR in CHANNEL-MAJOR polyphase layout [N,h,w,16] (lane c*4+phase,
-    lanes 12:16 zero) — the same contract as stack_scale_fused_u8. Same
-    math as yuv_to_bgr/saturate_cast_u8, restated on [n,h,w*4] arrays so
-    the VPU works at full lane width."""
-    n, h, w, _ = yuv.shape
-    ph = resize2x_phases(yuv[..., 1:3], CUBIC, h_axis=1)   # [n,h,w,2,4] f32
-    y2 = y_s2d[:, :h, :w, :].astype(jnp.float32).reshape(n, h, w * 4)
-    u2 = ph[..., 0, :].reshape(n, h, w * 4)
-    v2 = ph[..., 1, :].reshape(n, h, w * 4)
+def _combine_u8_cmajor(y2, u2, v2, n, h, w):
+    """Shared dense tail math: flat [n,h,w*4] Y/U/V phase planes ->
+    uint8 BGR in CHANNEL-MAJOR polyphase layout [n,h,w,16] (lane
+    c*4+phase, lanes 12:16 zero). Same math as yuv_to_bgr /
+    saturate_cast_u8, restated at full VPU lane width."""
     inv, off = color._INV, color._INV_OFF
     chans = []
     for c in range(3):
@@ -277,6 +277,42 @@ def _tail_u8_cmajor(y_s2d, yuv):
                      .astype(jnp.uint8).reshape(n, h, w, 4))
     chans.append(jnp.zeros_like(chans[0]))
     return jnp.concatenate(chans, axis=-1)                 # [n,h,w,16]
+
+
+def _tail_u8_cmajor(y_s2d, yuv):
+    """Dense u8/BGR SCALE tail: converted-Y s2d [N,h,w,4] + f32 YUV
+    [N,h,w,3] -> u8 BGR cmajor [N,h,w,16] — the same contract as
+    stack_scale_fused_u8 (interleave with d2s_host_cmajor)."""
+    n, h, w, _ = yuv.shape
+    ph = resize2x_phases(yuv[..., 1:3], CUBIC, h_axis=1)   # [n,h,w,2,4] f32
+    y2 = y_s2d[:, :h, :w, :].astype(jnp.float32).reshape(n, h, w * 4)
+    u2 = ph[..., 0, :].reshape(n, h, w * 4)
+    v2 = ph[..., 1, :].reshape(n, h, w * 4)
+    return _combine_u8_cmajor(y2, u2, v2, n, h, w)
+
+
+def _tail_u8_cmajor_noise(ys, yuv):
+    """Dense u8/BGR NOISE tail: converted-Y s2d [N,h/2,w/2,4] + the
+    ORIGINAL f32 YUV [N,h,w,3] (h, w even) -> u8 BGR cmajor
+    [N,h/2,w/2,16]. The noise step's U/V pass through untouched
+    (main.cpp denoises Y only), so their "phases" are just the s2d
+    split of the input plane — no resize. Replaces the round-trip the
+    f32 noise step pays on throughput surfaces (device d2s of Y + the
+    full-res at[...,0].set rewrite + a separate full-res BGR/u8
+    program: 3.3+ ms per 64x256^2 batch, tools-measured) with one
+    dense tail emitting the same host-interleave contract as scale."""
+    n, h, w, _ = yuv.shape
+    hl, wl = h // 2, w // 2
+    y2 = ys[:, :hl, :wl, :].astype(jnp.float32).reshape(n, hl, wl * 4)
+    uv = yuv[..., 1:3]
+    ph = jnp.stack([uv[:, a::2, b::2, :] for a in (0, 1) for b in (0, 1)],
+                   axis=3)                             # [n,hl,wl,4,2]
+    u2 = ph[..., 0].reshape(n, hl, wl * 4)
+    v2 = ph[..., 1].reshape(n, hl, wl * 4)
+    return _combine_u8_cmajor(y2, u2, v2, n, hl, wl)
+
+
+_tail_u8_cmajor_noise_jit = jax.jit(_tail_u8_cmajor_noise)
 
 
 _tail_u8_cmajor_jit = jax.jit(_tail_u8_cmajor)
@@ -294,7 +330,7 @@ def _tail_u8_cmajor_dense(ydense, yuv, tc):
     return _tail_u8_cmajor(y_s2d, yuv)
 
 
-def _fused_step(yuv, kp, tile, spec, interpret, dtype):
+def _fused_step(yuv, kp, tile, spec, interpret, dtype, y=None):
     # Deliberately NOT one outer jit: the U/V prep, the im2col build and
     # the kernel call run as separate programs. Collapsing them into one
     # program measured neutral for speed (the async dispatch queue hides
@@ -304,16 +340,20 @@ def _fused_step(yuv, kp, tile, spec, interpret, dtype):
     # expansion -> HBM OOM at e.g. batch-4 1080p); the standalone
     # _xcol_scale program compiles densely at those same shapes.
     ps = _fast_import()
+    if y is None:   # `y` override: chained steps (noise_scale) pass the
+        y = yuv[..., 0]   # denoised plane directly, skipping a full-res
+    #                       yuv.at[..., 0].set rewrite; the tail reads
+    #                       only yuv's U/V (and shape)
     if FUSED_TAIL == "xla":
         if YDENSE:   # A/B only — measured 20.73 vs 20.58 ms/4f (see PERF.md)
-            ydense, tc = ps.stack_scale_dense(yuv[..., 0].astype(dtype), kp,
+            ydense, tc = ps.stack_scale_dense(y.astype(dtype), kp,
                                               spec, tile, interpret=interpret)
             return _tail_u8_cmajor_dense(ydense, yuv, tc)
-        y_s2d = ps.stack_scale(yuv[..., 0].astype(dtype), kp, spec, tile,
+        y_s2d = ps.stack_scale(y.astype(dtype), kp, spec, tile,
                                interpret=interpret)
         return _tail_u8_cmajor_jit(y_s2d, yuv)
     uvp = _uv_phases_cmajor(yuv, tile)
-    return ps.stack_scale_fused_u8(yuv[..., 0].astype(dtype), uvp,
+    return ps.stack_scale_fused_u8(y.astype(dtype), uvp,
                                    kp, spec, tile, interpret=interpret)
 
 
@@ -335,7 +375,8 @@ _BAND_HALO = 4       # one-sided receptive radius of the whole 2x step
 
 
 def scale2x_batch_u8_fused(yuv: jax.Array, fast: FastStack,
-                           band_rows: int = BAND_ROWS) -> jax.Array:
+                           band_rows: int = BAND_ROWS,
+                           y: "jax.Array | None" = None) -> jax.Array:
     """Fully fused throughput 2x step: f32 YUV [N, h, w, 3] -> uint8 BGR in
     CHANNEL-MAJOR polyphase layout [N, h, w, 16] (lane c*4 + phase, lanes
     12:16 zero). Interleave with d2s_host_cmajor. The conv stack, bicubic
@@ -356,7 +397,7 @@ def scale2x_batch_u8_fused(yuv: jax.Array, fast: FastStack,
     if h <= band_rows:
         tile = fast.tile or ps.pick_tile(h, w, jnp.dtype(fast.dtype).itemsize)
         return _fused_step(yuv, fast.kp, tile, fast.spec, fast.interpret,
-                           dtype)
+                           dtype, y=y)
     k = _BAND_HALO
     n_bands = -(-h // band_rows)
     rows = -(-h // n_bands)          # even bands: no oversized tail slice
@@ -368,7 +409,9 @@ def scale2x_batch_u8_fused(yuv: jax.Array, fast: FastStack,
         s = min(max(0, b0 - k), h - size)
         out = _fused_step(
             jax.lax.dynamic_slice_in_dim(yuv, s, size, axis=1),
-            fast.kp, tile, fast.spec, fast.interpret, dtype)
+            fast.kp, tile, fast.spec, fast.interpret, dtype,
+            y=None if y is None
+            else jax.lax.dynamic_slice_in_dim(y, s, size, axis=1))
         outs.append(out[:, b0 - s:b0 - s + nrows])
     return jnp.concatenate(outs, axis=1)
 
@@ -401,20 +444,20 @@ def scale2x_batch_fast(yuv: jax.Array, fast: FastStack,
     return d2s(s2d_out.reshape(n, h, w, 12))
 
 
-def noise_batch_fast(yuv: jax.Array, fast: FastStack,
-                     band_rows: int = 2 * BAND_ROWS) -> jax.Array:
-    """Fast-path twin of noise_batch: f32 YUV [N,h,w,3] -> same shape with
-    the Y plane denoised through the fused kernel. Tall frames run in row
-    bands (full-res rows; 16-row overlap covers the 7-px receptive radius
-    on even s2d boundaries) to bound the per-dispatch HBM footprint."""
-    n, h, w, _ = yuv.shape
+def noise_y_batch_fast(y_in: jax.Array, fast: FastStack,
+                       band_rows: int = 2 * BAND_ROWS) -> jax.Array:
+    """Denoise a luma batch [N,h,w] -> [N,h,w] f32 through the fused
+    kernel. Tall frames run in row bands (full-res rows; 16-row overlap
+    covers the 7-px receptive radius on even s2d boundaries) to bound the
+    per-dispatch HBM footprint. Plane-form core of noise_batch_fast —
+    chain consumers (noise_scale) feed it straight into the scale step's
+    `y=` override and skip the full-res YUV rewrite."""
+    n, h, w = y_in.shape
     # same per-dispatch volume cap as the scale step (BAND_PX is in
     # low-res px; the noise path's rows are full-res, hence the 4x)
     band_rows = max(128, min(band_rows, 2 * (2 * BAND_PX // max(1, n * w))))
     if h <= band_rows:
-        y = fast.noise(yuv[..., 0])
-        return yuv.at[..., 0].set(y.astype(yuv.dtype))
-    y_in = yuv[..., 0]
+        return fast.noise(y_in).astype(jnp.float32)
     if h % 2:   # pad odd heights to even so bands keep s2d parity
         y_in = jnp.pad(y_in, ((0, 0), (0, 1), (0, 0)), mode="edge")
     he = y_in.shape[1]
@@ -428,8 +471,50 @@ def noise_batch_fast(yuv: jax.Array, fast: FastStack,
         s = min(max(0, b0 - k), he - size)
         y = fast.noise(
             jax.lax.dynamic_slice_in_dim(y_in, s, size, axis=1))
-        parts.append(y[:, b0 - s:b0 - s + nrows].astype(yuv.dtype))
-    return yuv.at[..., 0].set(jnp.concatenate(parts, axis=1)[:, :h])
+        parts.append(y[:, b0 - s:b0 - s + nrows].astype(jnp.float32))
+    return jnp.concatenate(parts, axis=1)[:, :h]
+
+
+def noise_batch_fast(yuv: jax.Array, fast: FastStack,
+                     band_rows: int = 2 * BAND_ROWS) -> jax.Array:
+    """Fast-path twin of noise_batch: f32 YUV [N,h,w,3] -> same shape with
+    the Y plane denoised through the fused kernel (see noise_y_batch_fast
+    for banding)."""
+    y = noise_y_batch_fast(yuv[..., 0], fast, band_rows)
+    return yuv.at[..., 0].set(y.astype(yuv.dtype))
+
+
+def noise_batch_u8_fused(yuv: jax.Array, fast: FastStack,
+                         band_rows: int = 2 * BAND_ROWS) -> jax.Array:
+    """Throughput NOISE step with the dense u8 tail: f32 YUV [N,h,w,3]
+    (h, w EVEN — callers with odd frames use noise_batch_fast) -> uint8
+    BGR cmajor [N, h/2, w/2, 16] (lane c*4 + s2d phase); interleave with
+    d2s_host_cmajor. Deliberately NOT one outer jit, like the scale
+    step: the combined program regresses 24.6 -> 33 ms on 64x256^2 (the
+    same XLA layout pathology _fused_step documents), while the async
+    dispatch queue hides the extra program dispatches. Tall frames
+    row-band exactly like noise_batch_fast."""
+    n, h, w, _ = yuv.shape
+    if h % 2 or w % 2:
+        raise ValueError(f"noise_batch_u8_fused needs even dims, got "
+                         f"{h}x{w} (use noise_batch_fast)")
+    band_rows = max(128, min(band_rows, 2 * (2 * BAND_PX // max(1, n * w))))
+    if h <= band_rows:
+        ys = fast.noise_s2d(yuv[..., 0], crop=False)
+        return _tail_u8_cmajor_noise_jit(ys, yuv)
+    k = 8
+    n_bands = -(-h // band_rows)
+    rows = 2 * (-(-h // (2 * n_bands)))      # even band heights
+    size = min(h, rows + 2 * k)
+    parts = []
+    for b0 in range(0, h, rows):
+        nrows = min(rows, h - b0)
+        s = min(max(0, b0 - k), h - size)
+        band = jax.lax.dynamic_slice_in_dim(yuv, s, size, axis=1)
+        ys = fast.noise_s2d(band[..., 0], crop=False)
+        u8 = _tail_u8_cmajor_noise_jit(ys, band)
+        parts.append(u8[:, (b0 - s) // 2:(b0 - s + nrows) // 2])
+    return jnp.concatenate(parts, axis=1)
 
 
 def _build_fast(params, scale_input: bool, cfg: Config,

@@ -39,6 +39,8 @@ from waifu2x_tpu.pipeline import (
     BAND_PX,
     FastStack,
     noise_batch_fast,
+    noise_batch_u8_fused,
+    noise_y_batch_fast,
     scale2x_batch_u8_fused,
 )
 from waifu2x_tpu.train.checkpoint import load_frame_cursor, save_frame_cursor
@@ -86,11 +88,20 @@ class StreamConverter:
         # MP/s unjitted vs 134+ jitted at 256^2). The SCALE step stays
         # multi-program on purpose (pipeline._fused_step's layout note).
         if self.mode == "noise":
+            # even-dim frames take the dense u8 cmajor tail (no device
+            # d2s / full-res YUV rewrite — docs/PERF.md round 3); odd
+            # dims keep the f32 path + raster u8 cast. No outer jit: the
+            # combined program hits the documented layout pathology
+            self._noise_u8_jit = (
+                lambda yuv: noise_batch_u8_fused(yuv, self.fast_noise))
             self._noise_jit = jax.jit(lambda yuv: _to_bgr_u8_batch(
                 noise_batch_fast(yuv, self.fast_noise)))
         elif self.mode == "noise_scale":
-            self._noise_jit = jax.jit(
-                lambda yuv: noise_batch_fast(yuv, self.fast_noise))
+            # plane-form: the denoised Y feeds the scale step's `y=`
+            # override — no full-res YUV rewrite between the stacks
+            self._noise_jit = (
+                lambda yuv: noise_y_batch_fast(yuv[..., 0],
+                                               self.fast_noise))
 
     # -- per-shape batching ------------------------------------------------
 
@@ -104,15 +115,19 @@ class StreamConverter:
 
     def _step(self, yuv: jax.Array) -> jax.Array:
         if self.mode == "noise":
+            if yuv.shape[1] % 2 == 0 and yuv.shape[2] % 2 == 0:
+                return self._noise_u8_jit(yuv)
             return self._noise_jit(yuv)
         if self.mode == "noise_scale":
-            yuv = self._noise_jit(yuv)
+            return scale2x_batch_u8_fused(yuv, self.fast,
+                                          y=self._noise_jit(yuv))
         return scale2x_batch_u8_fused(yuv, self.fast)
 
     def _interleave(self, out: np.ndarray) -> np.ndarray:
-        # scale outputs are channel-major polyphase u8 (zero-flop host
-        # interleave); noise outputs are already raster BGR
-        return out if self.mode == "noise" else d2s_host_cmajor(out)
+        # 16-lane outputs are channel-major polyphase u8 (zero-flop host
+        # interleave): scale always, noise on even-dim frames; odd-dim
+        # noise frames arrive as raster BGR
+        return d2s_host_cmajor(out) if out.shape[-1] == 16 else out
 
     def _dispatch(self, frames: Sequence[np.ndarray], nbatch: int):
         n = len(frames)
