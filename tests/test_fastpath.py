@@ -331,10 +331,12 @@ def test_noise_batch_u8_fused_matches_classic(params, rng):
     got = d2s_host_cmajor(np.asarray(noise_batch_u8_fused(yuv, fast_n)))
     diff = np.abs(got.astype(np.int32) - ref.astype(np.int32))
     assert diff.max() <= 1 and (diff != 0).mean() < 0.02
-    # banded == unbanded
-    tall = jnp.asarray(rng.random((1, 64, 16, 3), dtype=np.float32))
-    whole = np.asarray(noise_batch_u8_fused(tall, fast_n, band_rows=64))
-    banded = np.asarray(noise_batch_u8_fused(tall, fast_n, band_rows=20))
+    # banded == unbanded — band_rows floors at max(128, ...), so the frame
+    # must be taller than 128 rows for the band loop (and its u8-slice
+    # arithmetic: u8[:, (b0-s)//2:(b0-s+nrows)//2], k=8 halo) to run at all
+    tall = jnp.asarray(rng.random((1, 320, 16, 3), dtype=np.float32))
+    whole = np.asarray(noise_batch_u8_fused(tall, fast_n, band_rows=320))
+    banded = np.asarray(noise_batch_u8_fused(tall, fast_n, band_rows=160))
     np.testing.assert_array_equal(banded, whole)
     # odd dims are rejected toward the classic path
     with pytest.raises(ValueError, match="even"):

@@ -196,6 +196,18 @@ def test_l6_i8_excludes_wino():
                    l6_wino=True)
 
 
+def test_l6_i8_requires_f32_acc():
+    """The diagnostic knobs must compose or refuse loudly: int8 L6
+    dequantizes int32-exact partials into an f32 acc, so acc_f32=False
+    is rejected up front instead of failing at trace time."""
+    from waifu2x_tpu.ops.pallas_stack import _run_stack
+
+    with pytest.raises(ValueError, match="acc_f32"):
+        _run_stack(jnp.zeros((1, 16, 16, 16), jnp.bfloat16), {}, 16, 16,
+                   1, 1, ((), (), (), ()), interpret=True, l6_i8=True,
+                   acc_f32=False)
+
+
 def test_upto_truncation_runs(kp, rng):
     """The forensic `upto` truncation (tools/layer_time_probe.py) must
     stay wired: every mode compiles and emits that layer's activation

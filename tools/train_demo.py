@@ -81,6 +81,65 @@ def synth_image(rng: np.random.Generator, size: int = 192) -> np.ndarray:
     return np.clip(np.round(img), 0, 255).astype(np.uint8)[:, :, ::-1]
 
 
+EVAL_SEED = 777          # held-out corpus seed, disjoint from every
+                         # training seed scheme (seed*1000 + 1000 + i)
+
+
+def build_eval_set(kind: str, noise_level: int, n_images: int = 32,
+                   crops_per: int = 8, crop: int = 96):
+    """Fixed held-out eval protocol (round 4): 32 synthetic images x 8
+    crops = 256 (input, target) pairs, drawn from generator seed 777 —
+    identical for every run and every model of a kind, so steps-vs-dB
+    curves and shipped-weight numbers are comparable across rounds."""
+    from waifu2x_tpu.train.data import PairOptions, make_batch
+
+    rng = np.random.default_rng(EVAL_SEED)
+    imgs = [synth_image(rng) for _ in range(n_images)]
+    opts = PairOptions(crop_size=crop)
+    prng = np.random.default_rng(EVAL_SEED + 1)
+    xs, ys = [], []
+    for im in imgs:
+        x, y = make_batch([im], crops_per, kind, prng, opts,
+                          noise_level=noise_level)
+        xs.append(x)
+        ys.append(y)
+    return np.concatenate(xs), np.concatenate(ys)
+
+
+def make_evaluator(xs: np.ndarray, ys: np.ndarray):
+    """Mean per-sample held-out Y-PSNR (dB, unit peak; per-sample MSE
+    floored at 1e-12) + the pooled-MSE dB, via the f32-highest reference
+    stack. Returns ev(params) -> (mean_db, pooled_db)."""
+    import jax
+    import jax.numpy as jnp
+    from waifu2x_tpu.ops.convstack import conv_stack_valid
+
+    fwd = jax.jit(lambda p, x: conv_stack_valid(x, p, precision="highest"))
+
+    def ev(params) -> tuple[float, float]:
+        dbs, sse, npx = [], 0.0, 0
+        for c0 in range(0, xs.shape[0], 32):
+            pred = np.asarray(fwd(params, jnp.asarray(xs[c0:c0 + 32])))
+            err = (pred.astype(np.float64)
+                   - ys[c0:c0 + 32].astype(np.float64)) ** 2
+            mse = err.mean(axis=(1, 2, 3))
+            dbs.extend(10.0 * np.log10(1.0 / np.maximum(mse, 1e-12)))
+            sse += err.sum()
+            npx += err.size
+        return float(np.mean(dbs)), float(10.0 * np.log10(npx / sse))
+
+    return ev
+
+
+def input_baseline_db(xs: np.ndarray, ys: np.ndarray, offset: int = 7
+                      ) -> float:
+    """Identity baseline: the (noisy / nearest-upscaled) input vs target —
+    the information floor the trained model must beat."""
+    xc = xs[:, offset:-offset, offset:-offset].astype(np.float64)
+    mse = ((xc - ys.astype(np.float64)) ** 2).mean(axis=(1, 2, 3))
+    return float(np.mean(10.0 * np.log10(1.0 / np.maximum(mse, 1e-12))))
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=400)
@@ -92,6 +151,23 @@ def main() -> int:
     ap.add_argument("--noise_level", type=int, default=1, choices=[1, 2])
     ap.add_argument("--images", type=int, default=64,
                     help="synthetic training images to generate")
+    ap.add_argument("--imgsize", type=int, default=192,
+                    help="synthetic training image side length")
+    ap.add_argument("--lr", type=float, default=0.00025,
+                    help="peak Adam lr (reference settings.lua: 2.5e-4)")
+    ap.add_argument("--warmup", type=int, default=0,
+                    help="linear lr warmup steps")
+    ap.add_argument("--ema", type=float, default=0.0,
+                    help="EMA decay for a Polyak-averaged shadow of the "
+                         "params (0 = off); the best of final/EMA/"
+                         "best-checkpoint ships")
+    ap.add_argument("--eval_every", type=int, default=0,
+                    help="held-out eval interval in steps (0 = only at "
+                         "the end); every eval point lands in the "
+                         "provenance steps-vs-dB curve")
+    ap.add_argument("--init", default=None,
+                    help="warm-start weights (reference-format JSON) "
+                         "instead of random init")
     ap.add_argument("--workers", type=int, default=4,
                     help="host synthesis threads (cv2 releases the GIL; "
                          "long runs are otherwise host-synthesis-bound)")
@@ -116,19 +192,22 @@ def main() -> int:
     import jax
     from waifu2x_tpu.models.srcnn import WAIFU2X_7LAYER, init_params, as_numpy
     from waifu2x_tpu.models.weights import load_model_json, save_model_json
-    from waifu2x_tpu.ops.convstack import convert_plane
-    from waifu2x_tpu.train.data import PairOptions, make_batch, rgb_luma
+    from waifu2x_tpu.train.data import PairOptions, make_batch
     from waifu2x_tpu.train.train import TrainConfig, train_loop
-    from waifu2x_tpu.utils.metrics import psnr
 
     rng = np.random.default_rng(args.seed)
-    train_imgs = [synth_image(rng) for _ in range(args.images)]
-    test_imgs = [synth_image(rng) for _ in range(8)]
+    train_imgs = [synth_image(rng, size=args.imgsize)
+                  for _ in range(args.images)]
     opts = PairOptions(crop_size=args.crop)
 
-    params0 = init_params(jax.random.PRNGKey(0), WAIFU2X_7LAYER)
+    if args.init:
+        params0 = load_model_json(args.init)
+    else:
+        params0 = init_params(jax.random.PRNGKey(0), WAIFU2X_7LAYER)
     cfg = TrainConfig(batch_size=args.batch, crop_size=args.crop,
-                      precision="default", decay_steps=args.steps)
+                      precision="default", decay_steps=args.steps,
+                      learning_rate=args.lr, warmup_steps=args.warmup,
+                      ema_decay=args.ema)
     # host-side pair synthesis (crops/flips/JPEG) runs on a small thread
     # pool so it overlaps the device steps instead of serializing with
     # them (cv2's codecs release the GIL; one thread caps long runs).
@@ -159,47 +238,87 @@ def main() -> int:
                 continue
             yield item
 
-    params, losses = train_loop(
-        params0, prefetch(args.steps, max(1, args.workers)), cfg)
+    # held-out protocol (round 4, see build_eval_set): fixed 256-pair
+    # set, mean per-sample dB — evaluated for the input baseline, the
+    # init, the previously shipped weights (continuity), and on a
+    # steps-vs-dB curve during training
+    xs, ys = build_eval_set(args.kind, args.noise_level)
+    ev = make_evaluator(xs, ys)
+    base_db = input_baseline_db(xs, ys)
+    prev_db = None
+    if os.path.exists(args.out):
+        prev_db = ev(load_model_json(args.out))[0]
+    init_db = ev(as_numpy(params0))[0]
+    print(f"held-out baselines: input {base_db:.2f} dB, "
+          f"init {init_db:.2f} dB"
+          + (f", previously shipped {prev_db:.2f} dB"
+             if prev_db is not None else ""), flush=True)
+
+    curve: list[dict] = []
+    best = {"db": -1.0, "step": 0, "params": None, "variant": "sgd"}
+
+    def on_eval(step, params, ema):
+        variants = [("sgd", params)] + ([("ema", ema)]
+                                        if ema is not None else [])
+        for variant, p in variants:
+            pn = as_numpy(p)
+            db, pooled = ev(pn)
+            curve.append({"step": step, "variant": variant,
+                          "db": round(db, 3), "pooled_db": round(pooled, 3)})
+            print(f"  eval @ {step:>6} [{variant}]: {db:.2f} dB "
+                  f"(pooled {pooled:.2f})", flush=True)
+            if db > best["db"]:
+                best.update(db=db, step=step, params=pn, variant=variant)
+
+    out = train_loop(params0, prefetch(args.steps, max(1, args.workers)),
+                     cfg, eval_every=args.eval_every, eval_fn=on_eval)
+    params, losses = out[0], out[1]
+    ema = out[2] if len(out) > 2 else None
     print(f"trained {args.steps} steps: mse {losses[0]:.5f} -> "
           f"{np.mean(losses[-20:]):.5f}")
+    if not curve or curve[-1]["step"] != args.steps:
+        on_eval(args.steps, params, ema)
 
-    # held-out eval: Y-PSNR of model output vs ground truth, against the
-    # nearest-2x input baseline and the untrained init
-    def eval_psnr(p):
-        scores = []
-        for im in test_imgs:
-            x, y = make_batch([im], 1, args.kind, np.random.default_rng(7),
-                              opts, noise_level=args.noise_level)
-            out = np.asarray(convert_plane(
-                jax.numpy.asarray(x[0, :, :, 0]), p, precision="highest"))
-            off = (x.shape[1] - y.shape[1]) // 2
-            scores.append(psnr(out[off:-off, off:-off] * 255.0,
-                               y[0, :, :, 0] * 255.0))
-        return float(np.mean(scores))
+    ship = best["params"]
+    trained_db, trained_pooled = best["db"], None
+    for pt in curve:
+        if pt["step"] == best["step"] and pt["variant"] == best["variant"]:
+            trained_pooled = pt["pooled_db"]
+    print(f"held-out Y-PSNR: input {base_db:.2f} dB -> init "
+          f"{init_db:.2f} dB -> shipped {trained_db:.2f} dB "
+          f"({best['variant']} @ step {best['step']})")
 
-    base_in = eval_psnr(as_numpy(params0))
-    trained = eval_psnr(as_numpy(params))
-    print(f"held-out Y-PSNR: untrained init {base_in:.2f} dB -> "
-          f"trained {trained:.2f} dB")
-
-    save_model_json(args.out, as_numpy(params))
+    save_model_json(args.out, ship)
     reloaded = load_model_json(args.out)
     print(f"exported reference-format weights to {args.out} "
           f"(reloads cleanly: {len(reloaded)} layers, "
-          f"reload PSNR {eval_psnr(reloaded):.2f} dB)")
+          f"reload PSNR {ev(reloaded)[0]:.2f} dB)")
     # provenance sidecar (the model JSON itself must stay a bare layer
     # array — the reference loader's schema): training config + held-out
-    # metric, so every shipped weight file has a recorded number
+    # metrics + the full eval curve, so every shipped weight file has a
+    # recorded number and its scaling history
     import json as _json
     prov = {
         "script": "tools/train_demo.py",
         "kind": args.kind, "noise_level": args.noise_level,
         "steps": args.steps, "batch": args.batch, "crop": args.crop,
-        "images": args.images, "workers": args.workers, "seed": args.seed,
+        "images": args.images, "imgsize": args.imgsize,
+        "workers": args.workers, "seed": args.seed,
+        "lr": args.lr, "warmup": args.warmup, "ema_decay": args.ema,
+        "init": args.init,
+        "eval_protocol": {"images": 32, "crops_per": 8, "crop": 96,
+                          "seed": EVAL_SEED,
+                          "metric": "mean per-sample Y-PSNR dB (unit peak, "
+                                    "f32-highest stack)"},
         "final_train_mse": float(np.mean(losses[-20:])),
-        "heldout_y_psnr_db": round(trained, 2),
-        "heldout_y_psnr_untrained_db": round(base_in, 2),
+        "heldout_y_psnr_db": round(trained_db, 2),
+        "heldout_pooled_db": trained_pooled,
+        "heldout_input_baseline_db": round(base_db, 2),
+        "heldout_y_psnr_untrained_db": round(init_db, 2),
+        "heldout_prev_shipped_db": (round(prev_db, 2)
+                                    if prev_db is not None else None),
+        "shipped_variant": f"{best['variant']}@{best['step']}",
+        "curve": curve,
     }
     with open(args.out + ".provenance.json", "w") as f:
         _json.dump(prov, f, indent=1)

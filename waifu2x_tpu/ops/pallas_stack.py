@@ -524,10 +524,12 @@ def _stack_body(tr, tc, cdtype, accdt, spec, fuse_u8, l7_fold, l6_wino,
         # int32-exact per group and dequantize into the f32 acc.
         # Scale region: columns >= tc+5 of x5 are poisoned by the unwritten
         # scratch cols >= wc propagating leftward one col per layer (NaN in
-        # interpret mode, nondeterministic stale bytes on hardware), while
-        # only cols < tc+2 influence valid output. Reduce over [0, tc+4):
-        # finite, deterministic, and a superset of the influential region.
-        m = jnp.max(jnp.abs(x5[0:tr + 2, 0:tc + 4, :].astype(jnp.float32)))
+        # interpret mode, nondeterministic stale bytes on hardware), and
+        # only cols < tc+2 influence valid output. Reduce over exactly
+        # [0, tc+2) so the scale depends only on influential activations —
+        # the pad-halo cols [tc+2, tc+4) are deterministic but meaningless
+        # and would otherwise inflate sx.
+        m = jnp.max(jnp.abs(x5[0:tr + 2, 0:tc + 2, :].astype(jnp.float32)))
         sx = jnp.maximum(m, jnp.float32(1e-8)) * jnp.float32(1.0 / 127.0)
         x5q[:, 0:wc, :] = jnp.clip(
             jnp.round(x5[0:tr + 2, 0:wc, :].astype(jnp.float32)
@@ -687,6 +689,10 @@ def _run_stack(xcol, kp, tr, tc, ny, nx, spec, interpret=False,
         l6_i8 = L6_I8
     if l6_i8 and l6_wino:
         raise ValueError("L6_I8 and L6_WINO are mutually exclusive")
+    if l6_i8 and not acc_f32:
+        # the int8 path dequantizes int32-exact partials into the shared
+        # acc scratch as f32; a bf16 acc would mismatch the ref store dtype
+        raise ValueError("L6_I8 requires acc_f32=True")
 
     def _xblk(di, dj):
         # The kernel assembles its overlapping (tr+6, tc+16) input window

@@ -81,25 +81,24 @@ class StreamConverter:
             raise ValueError(f"mode {self.mode!r} needs a scale FastStack")
         if self.mode != "scale" and self.fast_noise is None:
             raise ValueError(f"mode {self.mode!r} needs a noise FastStack")
-        # ONE-dispatch denoise: jit collapses im2col + kernel + d2s (+ u8
-        # cast for noise-only) into a single program — the noise workload
-        # is otherwise dominated by per-dispatch relay latency (~3 ms per
-        # program vs ~7 ms of compute per batch; bench.py measured 34-62
-        # MP/s unjitted vs 134+ jitted at 256^2). The SCALE step stays
-        # multi-program on purpose (pipeline._fused_step's layout note).
         if self.mode == "noise":
             # even-dim frames take the dense u8 cmajor tail (no device
-            # d2s / full-res YUV rewrite — docs/PERF.md round 3); odd
-            # dims keep the f32 path + raster u8 cast. No outer jit: the
-            # combined program hits the documented layout pathology
-            self._noise_u8_jit = (
+            # d2s / full-res YUV rewrite — docs/PERF.md round 3), NOT
+            # wrapped in an outer jit: the combined program hits the
+            # documented layout pathology. Odd-dim frames keep the f32
+            # raster fallback, which IS one jitted dispatch (im2col +
+            # kernel + d2s + u8 cast in a single program — at ~7 ms of
+            # compute per batch that path is otherwise at the mercy of
+            # the ~3 ms per-dispatch relay latency).
+            self._noise_u8_step = (
                 lambda yuv: noise_batch_u8_fused(yuv, self.fast_noise))
-            self._noise_jit = jax.jit(lambda yuv: _to_bgr_u8_batch(
+            self._noise_raster_jit = jax.jit(lambda yuv: _to_bgr_u8_batch(
                 noise_batch_fast(yuv, self.fast_noise)))
         elif self.mode == "noise_scale":
-            # plane-form: the denoised Y feeds the scale step's `y=`
-            # override — no full-res YUV rewrite between the stacks
-            self._noise_jit = (
+            # plane-form (unjitted: the scale step it feeds is multi-
+            # program by design): the denoised Y feeds the scale step's
+            # `y=` override — no full-res YUV rewrite between the stacks
+            self._noise_y_step = (
                 lambda yuv: noise_y_batch_fast(yuv[..., 0],
                                                self.fast_noise))
 
@@ -116,11 +115,11 @@ class StreamConverter:
     def _step(self, yuv: jax.Array) -> jax.Array:
         if self.mode == "noise":
             if yuv.shape[1] % 2 == 0 and yuv.shape[2] % 2 == 0:
-                return self._noise_u8_jit(yuv)
-            return self._noise_jit(yuv)
+                return self._noise_u8_step(yuv)
+            return self._noise_raster_jit(yuv)
         if self.mode == "noise_scale":
             return scale2x_batch_u8_fused(yuv, self.fast,
-                                          y=self._noise_jit(yuv))
+                                          y=self._noise_y_step(yuv))
         return scale2x_batch_u8_fused(yuv, self.fast)
 
     def _interleave(self, out: np.ndarray) -> np.ndarray:

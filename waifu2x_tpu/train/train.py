@@ -41,11 +41,23 @@ class TrainConfig:
     # long runs, so the demo-weights trainer opts in (tools/train_demo.py).
     decay_steps: int = 0
     lr_min_ratio: float = 0.05
+    # Optional linear lr warmup (0 = none). Only meaningful with decay.
+    warmup_steps: int = 0
+    # Optional exponential moving average of the params (0 = off). The
+    # EMA weights are what long SR runs should ship: they average out the
+    # tail-of-training SGD noise (Polyak averaging).
+    ema_decay: float = 0.0
 
     def make_optimizer(self) -> optax.GradientTransformation:
         if self.decay_steps > 0:
-            sched = optax.cosine_decay_schedule(
-                self.learning_rate, self.decay_steps, self.lr_min_ratio)
+            if self.warmup_steps > 0:
+                sched = optax.warmup_cosine_decay_schedule(
+                    0.0, self.learning_rate, self.warmup_steps,
+                    self.decay_steps,
+                    self.learning_rate * self.lr_min_ratio)
+            else:
+                sched = optax.cosine_decay_schedule(
+                    self.learning_rate, self.decay_steps, self.lr_min_ratio)
             return optax.adam(sched)
         return optax.adam(self.learning_rate)
 
@@ -59,11 +71,16 @@ def loss_fn(params, x: jax.Array, y: jax.Array,
 
 
 def make_train_step(optimizer: optax.GradientTransformation,
-                    precision: str | None = "highest") -> Callable:
+                    precision: str | None = "highest",
+                    loss: Callable | None = None) -> Callable:
+    """`loss(params, x, y, precision)` defaults to the MSE criterion;
+    QAT / range-regularized finetunes pass their own (train/qat.py)."""
+    _loss = loss or loss_fn
+
     @jax.jit
     def train_step(params, opt_state, x, y):
         loss, grads = jax.value_and_grad(
-            lambda p: loss_fn(p, x, y, precision))(params)
+            lambda p: _loss(p, x, y, precision))(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -100,9 +117,17 @@ def make_sharded_train_step(mesh: Mesh,
 
 
 def train_loop(params, batches: Iterable, cfg: TrainConfig = TrainConfig(),
-               mesh: Mesh | None = None, log_every: int = 50):
+               mesh: Mesh | None = None, log_every: int = 50,
+               eval_every: int = 0, eval_fn: Callable | None = None,
+               loss: Callable | None = None):
     """Run Adam over an iterable of (x, y) NHWC batches; returns
-    (params, losses). Replaces minibatch_adam's feval/optim.adam loop.
+    (params, losses) — or (params, losses, ema_params) when
+    cfg.ema_decay > 0. Replaces minibatch_adam's feval/optim.adam loop.
+
+    eval_fn(step, params, ema_params_or_None) is called every
+    `eval_every` steps (and once at the end) when given — the hook long
+    runs use to record a held-out steps-vs-dB curve and keep a
+    best-so-far snapshot (tools/train_demo.py).
 
     Losses are accumulated as device scalars and fetched in chunks: a
     per-step float(loss) would force a host sync every step, capping the
@@ -112,7 +137,15 @@ def train_loop(params, batches: Iterable, cfg: TrainConfig = TrainConfig(),
     opt_state = optimizer.init(params)
     step = (make_sharded_train_step(mesh, optimizer, cfg.precision)
             if mesh is not None
-            else make_train_step(optimizer, cfg.precision))
+            else make_train_step(optimizer, cfg.precision, loss=loss))
+    ema = None
+    if cfg.ema_decay > 0.0:
+        d = cfg.ema_decay
+        ema = params
+        # separate tiny jitted dispatch (keeps the step fns' signatures
+        # stable for their other callers); it rides the async queue
+        ema_step = jax.jit(lambda e, p: jax.tree_util.tree_map(
+            lambda ev, pv: ev * d + pv * (1.0 - d), e, p))
     losses: list[float] = []
     pending: list[jax.Array] = []
 
@@ -124,10 +157,17 @@ def train_loop(params, batches: Iterable, cfg: TrainConfig = TrainConfig(),
     for i, (x, y) in enumerate(batches):
         params, opt_state, loss = step(params, opt_state,
                                        jnp.asarray(x), jnp.asarray(y))
+        if ema is not None:
+            ema = ema_step(ema, params)
         pending.append(loss)
         if (i + 1) % log_every == 0:
             _drain()
             log.info("step %d  mse %.6f", i + 1,
                      np.mean(losses[-log_every:]))
+        if eval_fn is not None and eval_every > 0 and (i + 1) % eval_every == 0:
+            _drain()
+            eval_fn(i + 1, params, ema)
     _drain()
+    if ema is not None:
+        return params, losses, ema
     return params, losses
