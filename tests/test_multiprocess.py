@@ -58,4 +58,5 @@ def test_two_process_cluster():
     for r, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {r} failed:\n{out}"
         assert f"rank {r}: OK (2 processes, 8 devices)" in out, out
+        assert f"rank {r}: cross-process halo exchange OK" in out, out
         assert f"rank {r}: train step loss" in out, out
