@@ -157,6 +157,8 @@ def main() -> int:
                     help="peak Adam lr (reference settings.lua: 2.5e-4)")
     ap.add_argument("--warmup", type=int, default=0,
                     help="linear lr warmup steps")
+    ap.add_argument("--clip", type=float, default=0.0,
+                    help="global-norm gradient clip (0 = off)")
     ap.add_argument("--ema", type=float, default=0.0,
                     help="EMA decay for a Polyak-averaged shadow of the "
                          "params (0 = off); the best of final/EMA/"
@@ -207,7 +209,7 @@ def main() -> int:
     cfg = TrainConfig(batch_size=args.batch, crop_size=args.crop,
                       precision="default", decay_steps=args.steps,
                       learning_rate=args.lr, warmup_steps=args.warmup,
-                      ema_decay=args.ema)
+                      ema_decay=args.ema, clip_norm=args.clip)
     # host-side pair synthesis (crops/flips/JPEG) runs on a small thread
     # pool so it overlaps the device steps instead of serializing with
     # them (cv2's codecs release the GIL; one thread caps long runs).
@@ -305,6 +307,7 @@ def main() -> int:
         "images": args.images, "imgsize": args.imgsize,
         "workers": args.workers, "seed": args.seed,
         "lr": args.lr, "warmup": args.warmup, "ema_decay": args.ema,
+        "clip_norm": args.clip,
         "init": args.init,
         "eval_protocol": {"images": 32, "crops_per": 8, "crop": 96,
                           "seed": EVAL_SEED,

@@ -74,6 +74,38 @@ class StreamConverter:
     fast_noise: "FastStack | None" = None
     mode: str = "scale"
 
+    @classmethod
+    def from_params(cls, scale_params=None, noise_params=None,
+                    mode: str = "scale", batch: int = 8, depth: int = 2,
+                    quality_noise: bool = True,
+                    interpret: bool = False) -> "StreamConverter":
+        """Build a stream from reference-format params with the same
+        noise-precision policy as the CLI / Converter quality surface:
+        in noise_scale mode the NOISE stack runs f32 (chained bf16
+        stacks compound rounding — 48.2 dB on pure-random content vs
+        the >=50 dB product bar; pipeline._noise_dtype_for). Pass
+        quality_noise=False for the documented throughput trade (bf16
+        noise stack, the 0.8x-of-scale chain ceiling — what bench's
+        ns1080 workload measures). Constructing the dataclass directly
+        with prebuilt FastStacks is the expert surface and applies NO
+        dtype policy."""
+        import jax.numpy as jnp
+
+        from waifu2x_tpu.pipeline import FastStack
+
+        fast = fast_noise = None
+        if mode in ("scale", "noise_scale"):
+            fast = FastStack.build(scale_params, scale_input=True,
+                                   interpret=interpret)
+        if mode in ("noise", "noise_scale"):
+            ndtype = (jnp.float32
+                      if quality_noise and mode == "noise_scale"
+                      else jnp.bfloat16)
+            fast_noise = FastStack.build(noise_params, scale_input=False,
+                                         interpret=interpret, dtype=ndtype)
+        return cls(fast=fast, batch=batch, depth=depth,
+                   fast_noise=fast_noise, mode=mode)
+
     def __post_init__(self):
         if self.mode not in ("scale", "noise", "noise_scale"):
             raise ValueError(f"invalid mode: {self.mode!r}")

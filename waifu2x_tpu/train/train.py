@@ -47,8 +47,21 @@ class TrainConfig:
     # EMA weights are what long SR runs should ship: they average out the
     # tail-of-training SGD noise (Polyak averaging).
     ema_decay: float = 0.0
+    # Optional global-norm gradient clipping (0 = off). Long runs at
+    # healthy lr occasionally hit a pathological JPEG/crop batch whose
+    # spike poisons Adam's moments for thousands of steps (measured:
+    # round-4 pilot A lost 4 dB to one step-5k spike); clipping is the
+    # cheap insurance.
+    clip_norm: float = 0.0
 
     def make_optimizer(self) -> optax.GradientTransformation:
+        opt = self._base_optimizer()
+        if self.clip_norm > 0:
+            return optax.chain(optax.clip_by_global_norm(self.clip_norm),
+                               opt)
+        return opt
+
+    def _base_optimizer(self) -> optax.GradientTransformation:
         if self.decay_steps > 0:
             if self.warmup_steps > 0:
                 sched = optax.warmup_cosine_decay_schedule(
