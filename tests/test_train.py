@@ -136,3 +136,57 @@ def test_graft_entry():
     out = jax.jit(fn)(*args)
     assert out.shape == (4, 128, 128, 1)
     ge.dryrun_multichip(8)
+
+
+# ---- int8-L6 QAT (train/qat.py) ----------------------------------------
+
+def test_qat_fq_stack_close_but_not_equal(rng):
+    """The L6-fake-quant twin must track the f32 stack within int8-scale
+    error (it IS the kernel's int8 contract) while not being identical."""
+    from waifu2x_tpu.models.srcnn import WAIFU2X_7LAYER
+    from waifu2x_tpu.train.qat import stack_valid_l6fq
+    from waifu2x_tpu.ops.convstack import conv_stack_valid
+
+    params = init_params(jax.random.PRNGKey(0), WAIFU2X_7LAYER)
+    x = jnp.asarray(rng.random((1, 30, 30, 1), dtype=np.float32))
+    a = np.asarray(conv_stack_valid(x, params, precision="highest"))
+    b = np.asarray(stack_valid_l6fq(x, params, precision="highest"))
+    assert a.shape == b.shape
+    d = np.abs(a - b)
+    assert 0 < d.max() < 0.05, d.max()
+
+
+def test_qat_loss_grads_flow_through_l6(rng):
+    """STE gradients must reach L6's weights through the fake-quant (a
+    zero gradient would mean the coupling term can't train anything)."""
+    from waifu2x_tpu.models.srcnn import WAIFU2X_7LAYER
+    from waifu2x_tpu.train.qat import make_qat_l6_loss
+
+    params = init_params(jax.random.PRNGKey(0), WAIFU2X_7LAYER)
+    x = jnp.asarray(rng.random((1, 30, 30, 1), dtype=np.float32))
+    y = jnp.asarray(rng.random((1, 16, 16, 1), dtype=np.float32))
+    loss = make_qat_l6_loss(mu=4.0)
+    g = jax.grad(lambda p: loss(p, x, y, "highest"))(params)
+    g6 = np.asarray(g[5]["w"])
+    assert np.isfinite(g6).all() and np.abs(g6).max() > 0
+
+
+def test_qat_loss_trains(rng):
+    """A couple of steps with the QAT loss must run and shrink the L6
+    quant gap metric's inputs (smoke: loss finite and decreasing-ish)."""
+    from waifu2x_tpu.models.srcnn import WAIFU2X_7LAYER
+    from waifu2x_tpu.train.qat import l6_quant_gap_db, make_qat_l6_loss
+
+    params = init_params(jax.random.PRNGKey(1), WAIFU2X_7LAYER)
+    x = jnp.asarray(rng.random((2, 30, 30, 1), dtype=np.float32))
+    y = jnp.asarray(rng.random((2, 16, 16, 1), dtype=np.float32))
+    opt = optax.adam(1e-3)
+    step = make_train_step(opt, "highest", loss=make_qat_l6_loss(2.0))
+    state = opt.init(params)
+    losses = []
+    p = params
+    for _ in range(3):
+        p, state, l = step(p, state, x, y)
+        losses.append(float(l))
+    assert all(np.isfinite(losses))
+    assert np.isfinite(l6_quant_gap_db(p, x))

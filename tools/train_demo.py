@@ -159,6 +159,11 @@ def main() -> int:
                     help="linear lr warmup steps")
     ap.add_argument("--clip", type=float, default=0.0,
                     help="global-norm gradient clip (0 = off)")
+    ap.add_argument("--qat_mu", type=float, default=0.0,
+                    help="int8-L6 QAT coupling weight (train/qat.py): "
+                         "adds mu * MSE(fq_stack, f32_stack) to the loss "
+                         "and reports the L6 quant-gap dB at each eval "
+                         "(0 = off)")
     ap.add_argument("--ema", type=float, default=0.0,
                     help="EMA decay for a Polyak-averaged shadow of the "
                          "params (0 = off); the best of final/EMA/"
@@ -258,6 +263,10 @@ def main() -> int:
 
     curve: list[dict] = []
     best = {"db": -1.0, "step": 0, "params": None, "variant": "sgd"}
+    qat_loss = None
+    if args.qat_mu > 0:
+        from waifu2x_tpu.train.qat import l6_quant_gap_db, make_qat_l6_loss
+        qat_loss = make_qat_l6_loss(args.qat_mu)
 
     def on_eval(step, params, ema):
         variants = [("sgd", params)] + ([("ema", ema)]
@@ -265,15 +274,22 @@ def main() -> int:
         for variant, p in variants:
             pn = as_numpy(p)
             db, pooled = ev(pn)
-            curve.append({"step": step, "variant": variant,
-                          "db": round(db, 3), "pooled_db": round(pooled, 3)})
+            pt = {"step": step, "variant": variant,
+                  "db": round(db, 3), "pooled_db": round(pooled, 3)}
+            gap = ""
+            if args.qat_mu > 0:
+                g = l6_quant_gap_db(pn, jax.numpy.asarray(xs[:64]))
+                pt["l6_quant_gap_db"] = round(g, 2)
+                gap = f", L6 i8 gap {g:.1f} dB"
+            curve.append(pt)
             print(f"  eval @ {step:>6} [{variant}]: {db:.2f} dB "
-                  f"(pooled {pooled:.2f})", flush=True)
+                  f"(pooled {pooled:.2f}{gap})", flush=True)
             if db > best["db"]:
                 best.update(db=db, step=step, params=pn, variant=variant)
 
     out = train_loop(params0, prefetch(args.steps, max(1, args.workers)),
-                     cfg, eval_every=args.eval_every, eval_fn=on_eval)
+                     cfg, eval_every=args.eval_every, eval_fn=on_eval,
+                     loss=qat_loss)
     params, losses = out[0], out[1]
     ema = out[2] if len(out) > 2 else None
     print(f"trained {args.steps} steps: mse {losses[0]:.5f} -> "
@@ -307,7 +323,7 @@ def main() -> int:
         "images": args.images, "imgsize": args.imgsize,
         "workers": args.workers, "seed": args.seed,
         "lr": args.lr, "warmup": args.warmup, "ema_decay": args.ema,
-        "clip_norm": args.clip,
+        "clip_norm": args.clip, "qat_mu": args.qat_mu,
         "init": args.init,
         "eval_protocol": {"images": 32, "crops_per": 8, "crop": 96,
                           "seed": EVAL_SEED,

@@ -1,0 +1,106 @@
+"""Quantization-aware finetuning for the int8-L6 kernel path.
+
+The fused kernel's opt-in W2X_L6_I8 mode (ops/pallas_stack.py) runs layer
+6 — 44% of all kernel MXU rows, at a measured 1.63x int8/bf16 row-rate —
+as int8 x int8 with a per-tile dynamic activation scale and per-output-
+channel weight scales, int32-exact partials. Its fidelity vs the f32
+reference stack is purely the quantization error of L6 on the given
+weights: the round-3 A/B measured ~42.8 dB-equivalent with demo weights
+vs the >=50 dB product bar (docs/PERF.md).
+
+That error is invariant to the classic L5/L6 rescaling reparam (shrinking
+activations while growing weights changes nothing), so post-hoc
+calibration cannot fix it; what CAN change it is training the weights so
+the f32 stack and its L6-fake-quantized twin CONVERGE. This module
+provides that twin and a coupled loss:
+
+    loss = MSE(f32_stack(x), y) + mu * MSE(fq_stack(x), f32_stack(x))
+
+The second term IS (up to the eval protocol) the int8-vs-f32 fidelity gap
+the kernel measures, differentiated through a straight-through estimator.
+The fake-quant mirrors the kernel's contract (pallas_stack.py:520-552):
+symmetric int8, dynamic activation scale from the running max (per-sample
+here — a superset of the kernel's per-tile max, i.e. the conservative
+case), per-output-channel weight scales, exact accumulation.
+
+Reference for the hot loop being accelerated: modelHandler.cpp:117-159.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from waifu2x_tpu.ops.convstack import _precision, conv_stack_valid, leaky_relu
+
+L6_INDEX = 5  # layer 6 of the flagship 7-layer stack (0-based)
+
+
+def _fq(v: jax.Array, s: jax.Array) -> jax.Array:
+    """Symmetric int8 fake-quant with a straight-through estimator; the
+    scale is stop-gradded (treated constant per step, standard QAT)."""
+    s = lax.stop_gradient(s)
+    q = jnp.clip(jnp.round(v / s), -127, 127) * s
+    return v + lax.stop_gradient(q - v)
+
+
+@partial(jax.jit, static_argnames=("precision",))
+def stack_valid_l6fq(x: jax.Array, params,
+                     precision: str | None = None) -> jax.Array:
+    """conv_stack_valid twin with L6 running the kernel's int8 contract
+    (fake-quantized, STE gradients). x: f32[N, H, W, 1] pre-padded."""
+    prec = _precision(precision)
+
+    def conv(x, w):
+        return lax.conv_general_dilated(
+            x, w.astype(x.dtype), window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=prec)
+
+    for i, p in enumerate(params):
+        w = p["w"]
+        if i == L6_INDEX:
+            sx = jnp.maximum(jnp.max(jnp.abs(x), axis=(1, 2, 3),
+                                     keepdims=True),
+                             jnp.float32(1e-8)) * jnp.float32(1 / 127.0)
+            sw = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2),
+                                     keepdims=True),
+                             jnp.float32(1e-12)) * jnp.float32(1 / 127.0)
+            x = conv(_fq(x, sx), _fq(w, sw))
+        else:
+            x = conv(x, w)
+        x = leaky_relu(x + p["b"].astype(x.dtype))
+    return x
+
+
+def make_qat_l6_loss(mu: float = 4.0):
+    """Loss for train_loop(loss=...): task MSE on the f32 stack plus
+    mu x the f32-vs-fake-quant output gap (the int8 fidelity term)."""
+
+    def loss(params, x, y, precision: str | None = "highest") -> jax.Array:
+        pred = conv_stack_valid(x, params, precision=precision)
+        predq = stack_valid_l6fq(x, params, precision=precision)
+        task = jnp.mean((pred - y) ** 2)
+        fid = jnp.mean((predq - pred) ** 2)
+        return task + jnp.float32(mu) * fid
+
+    return loss
+
+
+def l6_quant_gap_db(params, x: jax.Array,
+                    precision: str | None = "highest") -> float:
+    """PSNR (dB, unit peak) between the f32 stack and its L6-fake-quant
+    twin on a batch — the training-side proxy of the kernel's int8
+    fidelity measurement."""
+    import numpy as np
+
+    a = np.asarray(conv_stack_valid(x, params, precision=precision),
+                   np.float64)
+    b = np.asarray(stack_valid_l6fq(x, params, precision=precision),
+                   np.float64)
+    mse = float(((a - b) ** 2).mean())
+    if mse == 0.0:
+        return float("inf")
+    return float(10.0 * np.log10(1.0 / mse))
