@@ -72,7 +72,7 @@ def timeit(name, f, iters=20):
     print(f"{name:8s}: {best * 4 / B:6.2f} ms/4f", flush=True)
 
 
-args = sys.argv[1:] or ["1", "2", "3", "4", "5", "6", "full"]
+args = sys.argv[1:] or ["0", "1", "2", "3", "4", "5", "6", "full"]
 for a in args:
     upto = None if a == "full" else int(a)
     timeit(f"upto{a}", lambda x, u=upto: ps._run_stack(
