@@ -172,6 +172,13 @@ def main() -> int:
                     help="held-out eval interval in steps (0 = only at "
                          "the end); every eval point lands in the "
                          "provenance steps-vs-dB curve")
+    ap.add_argument("--widths", default=None,
+                    help="comma-separated layer widths for a CEILING-PROBE "
+                         "run (e.g. 1,64,64,128,128,256,256,1) — trains a "
+                         "non-flagship architecture on the identical data/"
+                         "protocol to locate whether the 7-layer spec or "
+                         "the generator caps the held-out dB; such runs "
+                         "are diagnostics, not shippable weights")
     ap.add_argument("--init", default=None,
                     help="warm-start weights (reference-format JSON) "
                          "instead of random init")
@@ -207,10 +214,15 @@ def main() -> int:
                   for _ in range(args.images)]
     opts = PairOptions(crop_size=args.crop)
 
+    spec = WAIFU2X_7LAYER
+    if args.widths:
+        from waifu2x_tpu.models.srcnn import ModelSpec
+        spec = ModelSpec.from_widths(
+            [int(v) for v in args.widths.split(",")])
     if args.init:
         params0 = load_model_json(args.init)
     else:
-        params0 = init_params(jax.random.PRNGKey(0), WAIFU2X_7LAYER)
+        params0 = init_params(jax.random.PRNGKey(0), spec)
     cfg = TrainConfig(batch_size=args.batch, crop_size=args.crop,
                       precision="default", decay_steps=args.steps,
                       learning_rate=args.lr, warmup_steps=args.warmup,
@@ -324,7 +336,7 @@ def main() -> int:
         "workers": args.workers, "seed": args.seed,
         "lr": args.lr, "warmup": args.warmup, "ema_decay": args.ema,
         "clip_norm": args.clip, "qat_mu": args.qat_mu,
-        "init": args.init,
+        "init": args.init, "widths": args.widths,
         "eval_protocol": {"images": 32, "crops_per": 8, "crop": 96,
                           "seed": EVAL_SEED,
                           "metric": "mean per-sample Y-PSNR dB (unit peak, "
