@@ -117,10 +117,14 @@ def main() -> int:
         args.batch = args.batch or 64
         args.size, h, w = 256, 256, 256
     elif args.workload == "ns1080":
-        # batch 4 with explicit row banding: the unbanded batch-8 noise
-        # program at this size hits a pathological >30-min remote compile;
-        # the banded shapes below compile in minutes and were measured
-        args.batch = min(args.batch or 4, 4)
+        # batch 4, UNBANDED both stacks (round 4): the band-overlap
+        # recompute was the chain's dominant loss (153 -> 159 MP/s;
+        # tools/ns1080_probe.py attribution). Large dispatches now take
+        # the layout-safe im2col automatically (pallas_stack.XCOL_SAFE_PX)
+        # so the old batch-4-unbanded OOM pathology is gone; batches > 4
+        # re-band via the BAND_PX volume cap (measured flat: 157 at b6/b8
+        # vs 159 at b4 — the knob is open but 4 is the sweet spot).
+        args.batch = args.batch or 4
         h, w = 1080, 1920
     elif args.workload == "stream4k":
         # sustained 4K 2x stream: row-banded frames, batch 2 per step
@@ -173,11 +177,14 @@ def main() -> int:
         elif args.workload == "ns1080":
             from waifu2x_tpu.pipeline import noise_y_batch_fast
             fast_n = FastStack.build(params, scale_input=False, tile=tile)
-            # plane-form chain: the denoised Y feeds the scale step's `y=`
-            # override directly — no full-res YUV rewrite between stacks
+            # plane-form chain, both stacks unbanded at batch 4 (the
+            # BAND_PX volume cap still bands larger batches), bf16
+            # handoff between the stacks (out_dtype=None — a full-res
+            # f32 round-trip between two bf16 stacks buys nothing)
             step = lambda x: scale2x_batch_u8_fused(  # noqa: E731
-                x, fast, band_rows=512,
-                y=noise_y_batch_fast(x[..., 0], fast_n, band_rows=1024))
+                x, fast, band_rows=1152,
+                y=noise_y_batch_fast(x[..., 0], fast_n, band_rows=2304,
+                                     out_dtype=None))
         else:
             step = lambda x: scale2x_batch_u8_fused(x, fast)  # noqa: E731
     else:

@@ -367,3 +367,19 @@ def test_stream_noise_u8_path(params, rng):
             assert out.shape == (h, w, 3) and out.dtype == np.uint8
             diff = np.abs(out.astype(np.int32) - ref[i].astype(np.int32))
             assert diff.max() <= 1
+
+
+def test_noise_y_out_dtype_passthrough(params, rng):
+    """noise_y_batch_fast(out_dtype=None) hands the kernel dtype through
+    the chain (the throughput handoff); the default stays f32 and equals
+    the cast of the passthrough result."""
+    from waifu2x_tpu.pipeline import noise_y_batch_fast
+
+    fast_n = FastStack.build(params, scale_input=False, tile=(16, 16),
+                             interpret=True, dtype=jnp.float32)
+    y = jnp.asarray(rng.random((1, 20, 24), dtype=np.float32))
+    a = noise_y_batch_fast(y, fast_n)
+    b = noise_y_batch_fast(y, fast_n, out_dtype=None)
+    assert a.dtype == jnp.float32 and b.dtype == fast_n.dtype
+    np.testing.assert_array_equal(np.asarray(a),
+                                  np.asarray(b.astype(jnp.float32)))

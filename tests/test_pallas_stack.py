@@ -222,3 +222,24 @@ def test_upto_truncation_runs(kp, rng):
                          upto=upto)
         assert out.shape == (1, 16, 16, 4)
         assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_xcol_scale_safe_build_bit_equal(rng, monkeypatch):
+    """The layout-safe im2col build (major-axis stack + transpose — forced
+    via W2X_XCOL_SAFE or automatically above XCOL_SAFE_PX low-res px per
+    dispatch) must be bit-equal to the fast last-axis build."""
+    from waifu2x_tpu.ops import pallas_stack as ps
+
+    ylow = jnp.asarray(rng.random((2, 30, 44), dtype=np.float32))
+    fast = np.asarray(ps._xcol_scale(ylow, 16, 16))
+    monkeypatch.setattr(ps, "XCOL_SAFE", True)
+    ps._xcol_scale.clear_cache()
+    safe = np.asarray(ps._xcol_scale(ylow, 16, 16))
+    ps._xcol_scale.clear_cache()
+    np.testing.assert_array_equal(fast, safe)
+    # auto threshold: same path, triggered by volume instead of the env
+    monkeypatch.setattr(ps, "XCOL_SAFE", False)
+    monkeypatch.setattr(ps, "XCOL_SAFE_PX", 1)
+    auto = np.asarray(ps._xcol_scale(ylow, 16, 16))
+    ps._xcol_scale.clear_cache()
+    np.testing.assert_array_equal(fast, auto)

@@ -89,6 +89,9 @@ XCOL_SAFE = _os.environ.get("W2X_XCOL_SAFE", "") == "1"
 # one explicit transpose, sidestepping the XLA lanes-on-taps layout
 # pathology that HBM-OOMs at some (batch, shape, tile) combos (see the
 # NOTE in _xcol_scale). Costs ~one extra dense HBM round-trip.
+XCOL_SAFE_PX = int(_os.environ.get("W2X_XCOL_SAFE_PX", 6_000_000))
+# ... and the auto threshold (low-res px per dispatch, batch included)
+# above which the safe build is used unconditionally (_xcol_scale).
 
 UVP_MODE = _os.environ.get(
     "W2X_UVP", "bf16" if _os.environ.get("W2X_UVP_BF16", "") == "1"
@@ -916,7 +919,13 @@ def _xcol_scale(ylow, tr, tc):
     # this: it was per-dispatch pixel volume (pipeline.BAND_PX).
     taps = [yp[:, dy:hp + 6 + dy, dx:wp + 16 + dx]
             for dy in range(3) for dx in range(3)]
-    if XCOL_SAFE:
+    # Round 4: dispatches at >= XCOL_SAFE_PX low-res px take the safe
+    # build automatically — the layout pathology strikes shape-by-shape
+    # at large frames (no volume rule predicts it), and 0.4% is cheap
+    # insurance there. This is what lets ns1080 run UNBANDED at batch 4
+    # (153 -> 159 MP/s with the band overlap gone); scale512's b16 fast
+    # path (4.2M px) stays on the fast build.
+    if XCOL_SAFE or n * hp * wp >= XCOL_SAFE_PX:
         x = jnp.moveaxis(jnp.stack(taps, axis=1), 1, -1)
     else:
         x = jnp.stack(taps, axis=-1)

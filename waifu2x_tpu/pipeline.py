@@ -445,19 +445,26 @@ def scale2x_batch_fast(yuv: jax.Array, fast: FastStack,
 
 
 def noise_y_batch_fast(y_in: jax.Array, fast: FastStack,
-                       band_rows: int = 2 * BAND_ROWS) -> jax.Array:
-    """Denoise a luma batch [N,h,w] -> [N,h,w] f32 through the fused
-    kernel. Tall frames run in row bands (full-res rows; 16-row overlap
-    covers the 7-px receptive radius on even s2d boundaries) to bound the
-    per-dispatch HBM footprint. Plane-form core of noise_batch_fast —
-    chain consumers (noise_scale) feed it straight into the scale step's
-    `y=` override and skip the full-res YUV rewrite."""
+                       band_rows: int = 2 * BAND_ROWS,
+                       out_dtype=jnp.float32) -> jax.Array:
+    """Denoise a luma batch [N,h,w] -> [N,h,w] (out_dtype, default f32)
+    through the fused kernel. Tall frames run in row bands (full-res
+    rows; 16-row overlap covers the 7-px receptive radius on even s2d
+    boundaries) to bound the per-dispatch HBM footprint. Plane-form core
+    of noise_batch_fast — chain consumers (noise_scale) feed it straight
+    into the scale step's `y=` override and skip the full-res YUV
+    rewrite; bf16-kernel throughput chains pass out_dtype=None to keep
+    the kernel dtype through the handoff (the scale step casts to its
+    own dtype anyway — a full-res f32 round-trip between two bf16
+    stacks buys nothing)."""
     n, h, w = y_in.shape
+    cast = (lambda y: y) if out_dtype is None else (
+        lambda y: y.astype(out_dtype))
     # same per-dispatch volume cap as the scale step (BAND_PX is in
     # low-res px; the noise path's rows are full-res, hence the 4x)
     band_rows = max(128, min(band_rows, 2 * (2 * BAND_PX // max(1, n * w))))
     if h <= band_rows:
-        return fast.noise(y_in).astype(jnp.float32)
+        return cast(fast.noise(y_in))
     if h % 2:   # pad odd heights to even so bands keep s2d parity
         y_in = jnp.pad(y_in, ((0, 0), (0, 1), (0, 0)), mode="edge")
     he = y_in.shape[1]
@@ -471,7 +478,7 @@ def noise_y_batch_fast(y_in: jax.Array, fast: FastStack,
         s = min(max(0, b0 - k), he - size)
         y = fast.noise(
             jax.lax.dynamic_slice_in_dim(y_in, s, size, axis=1))
-        parts.append(y[:, b0 - s:b0 - s + nrows].astype(jnp.float32))
+        parts.append(cast(y[:, b0 - s:b0 - s + nrows]))
     return jnp.concatenate(parts, axis=1)[:, :h]
 
 

@@ -129,10 +129,14 @@ class StreamConverter:
         elif self.mode == "noise_scale":
             # plane-form (unjitted: the scale step it feeds is multi-
             # program by design): the denoised Y feeds the scale step's
-            # `y=` override — no full-res YUV rewrite between the stacks
+            # `y=` override — no full-res YUV rewrite between the stacks,
+            # and the handoff keeps the noise kernel's dtype (f32 under
+            # the quality policy, bf16 in throughput mode — the scale
+            # step casts to its own dtype either way)
             self._noise_y_step = (
                 lambda yuv: noise_y_batch_fast(yuv[..., 0],
-                                               self.fast_noise))
+                                               self.fast_noise,
+                                               out_dtype=None))
 
     # -- per-shape batching ------------------------------------------------
 
@@ -140,9 +144,17 @@ class StreamConverter:
         """Per-dispatch frame cap for one geometry: the same pixel-volume
         bound the banded kernels use (pipeline.BAND_PX; the scale paths
         band rows once a dispatch exceeds it — capping the batch keeps
-        large-frame dispatches at whole frames where possible)."""
-        vol = 4 * BAND_PX if self.mode == "noise" else 2 * BAND_PX
-        return max(1, min(self.batch, vol // max(1, h * w)))
+        large-frame dispatches at whole frames where possible).
+
+        Scale modes additionally prefer the largest batch that keeps the
+        2x step UNBANDED (round 4: the band-overlap recompute was the
+        chained workloads' dominant loss; at 1080p, 4 unbanded frames
+        beat 8 banded ones, 159 vs 157 MP/s) — floored at 2 frames so
+        4K+ streams keep dispatch amortization and just band."""
+        if self.mode == "noise":
+            return max(1, min(self.batch, 4 * BAND_PX // max(1, h * w)))
+        unbanded = BAND_PX // max(1, h * w)
+        return max(1, min(self.batch, max(2, unbanded)))
 
     def _step(self, yuv: jax.Array) -> jax.Array:
         if self.mode == "noise":
