@@ -111,10 +111,11 @@ def main() -> int:
     params = init_params(jax.random.PRNGKey(0), WAIFU2X_7LAYER)
     rng = np.random.default_rng(0)
     if args.workload == "noise256":
-        # batch 64 default: the denoise step emits 1/4 the px of scale per
-        # cell, so smaller batches sit on the per-dispatch latency floor
-        # (138 vs 180 MP/s measured at 16 vs 64)
-        args.batch = args.batch or 64
+        # batch 256 default (round-4 sweep: 181.1 / 186.2 / 188.2 / 189.7
+        # MP/s at 64 / 128 / 256 / 512 — the tiny per-frame compute sits
+        # on the per-dispatch floor until the batch amortizes it; 256 is
+        # the knee, 512 buys +0.8% for a 33 MP dispatch)
+        args.batch = args.batch or 256
         args.size, h, w = 256, 256, 256
     elif args.workload == "ns1080":
         # batch 4, UNBANDED both stacks (round 4): the band-overlap
