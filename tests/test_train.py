@@ -190,3 +190,26 @@ def test_qat_loss_trains(rng):
         losses.append(float(l))
     assert all(np.isfinite(losses))
     assert np.isfinite(l6_quant_gap_db(p, x))
+
+
+def test_train_loop_ema_and_eval_hook(rng):
+    """cfg.ema_decay returns the EMA pytree as a third value; the eval
+    hook fires every eval_every steps with (step, params, ema)."""
+    from waifu2x_tpu.train.data import make_batch
+
+    imgs = _images(rng)
+    batches = [make_batch(imgs, 2, "scale", rng, OPTS) for _ in range(4)]
+    params = init_params(jax.random.PRNGKey(0), SMALL)
+    calls = []
+    out = train_loop(params, batches,
+                     TrainConfig(batch_size=2, ema_decay=0.9),
+                     eval_every=2,
+                     eval_fn=lambda s, p, e: calls.append((s, e is not None)))
+    assert len(out) == 3
+    p, losses, ema = out
+    assert calls == [(2, True), (4, True)]
+    assert len(losses) == 4
+    # EMA lags the raw params (decay 0.9 over 4 steps)
+    d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
+                               p, ema)
+    assert max(jax.tree_util.tree_leaves(d)) > 0
