@@ -119,6 +119,33 @@ def test_zoo_identity_roundtrip(tmp_path):
     assert ensure_default_models(str(tmp_path), spec) == []
 
 
+def test_zoo_refreshes_stale_demo_copies(tmp_path):
+    """A *_model.json previously copied from a demo must refresh when the
+    demo file is newer (retrained weights reach users who already
+    materialized the old copy); a user's own file (no demo sibling) is
+    never touched."""
+    import os
+    import time
+
+    from waifu2x_tpu.models.weights import load_model_json, save_model_json
+    from waifu2x_tpu.models.zoo import ensure_default_models
+
+    spec = ModelSpec.from_widths([1, 2, 1])
+    ensure_default_models(str(tmp_path), spec)      # identity placeholders
+    # ship a "retrained demo" for noise1, newer than the materialized copy
+    new_params = identity_params(spec)
+    new_params = tuple({"w": p["w"] * 2.0, "b": p["b"]} for p in new_params)
+    save_model_json(str(tmp_path / "noise1_demo.json"), new_params)
+    future = time.time() + 60
+    os.utime(str(tmp_path / "noise1_demo.json"), (future, future))
+    made = ensure_default_models(str(tmp_path), spec)
+    assert made == [str(tmp_path / "noise1_model.json")]
+    got = load_model_json(str(tmp_path / "noise1_model.json"))
+    np.testing.assert_array_equal(got[0]["w"], new_params[0]["w"])
+    # scale2.0x_model.json has no demo sibling here: untouched
+    assert ensure_default_models(str(tmp_path), spec) == []
+
+
 def test_cli_multiple_inputs(tmp_path, rng):
     spec = ModelSpec.from_widths([1, 3, 1])
     model_dir = str(tmp_path / "models")

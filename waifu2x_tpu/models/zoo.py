@@ -64,7 +64,10 @@ def ensure_default_models(model_dir: str,
                 continue
         if has_demo:
             import shutil
-            shutil.copyfile(demo, path)
+            # copy2 (not copyfile): preserving the demo's mtime makes the
+            # refresh idempotent — a copy stamped "now" would stay older
+            # than a newer-mtime demo and re-refresh on every call
+            shutil.copy2(demo, path)
         else:
             if params is None:
                 params = identity_params(spec)
