@@ -158,6 +158,12 @@ def test_cli_multiple_inputs(tmp_path, rng):
         srcs.append(p)
     rc = main(["-i", *srcs, "-m", "scale", "--model_dir", model_dir])
     assert rc == 0
+    # repeated -i accumulates too (argparse last-wins would silently
+    # drop all but the last input — a real data-loss footgun)
+    import itertools
+    rep = list(itertools.chain.from_iterable(("-i", s) for s in srcs))
+    rc = main([*rep, "-m", "scale", "--model_dir", model_dir])
+    assert rc == 0
     for i in range(3):
         out = str(tmp_path / f"f{i}(scale)(x2.000000).png")
         assert w2x_io.imread_bgr(out).shape == ((10 + 2 * i) * 2, 24, 3)

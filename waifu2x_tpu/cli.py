@@ -32,9 +32,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--version", action="version", version="1.0.0")
     # --- reference flags, identical semantics (main.cpp:26-61) ---
     p.add_argument("-i", "--input_file", required=True, nargs="+",
+                   action="extend",
                    help="path to input image file(s); multiple files are "
                         "decoded by the native thread pool (-j) and share "
-                        "one loaded model (outputs auto-named)")
+                        "one loaded model (outputs auto-named). Both "
+                        "'-i a b c' and repeated '-i a -i b' accumulate "
+                        "(argparse's default would silently keep only the "
+                        "last -i)")
     p.add_argument("-o", "--output_file", default="(auto)",
                    help="path to output image file")
     p.add_argument("-m", "--mode", default="noise_scale",
