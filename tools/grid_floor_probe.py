@@ -22,6 +22,18 @@ granularity, not HBM (819 GB/s). The only lever is bigger blocks per
 DMA = bigger tiles = the round-1/2 VMEM wall. Structurally sunk,
 empirically: even a store-only kernel pays half the floor.
 
+Follow-up A/Bs (same session): frames-per-block 1/2/4 at constant total
+bytes all measure 2.21 ms/4f (the cost is per BYTE, not per grid
+iteration — batch-folding blocks buys nothing); fetch + 1-lane touch
+with no bulk copy measures 2.23 (the cost is the fetch stream itself,
+not the body's copy). 32 MB/4f in ~1.1 ms = ~29 GB/s: the 16-lane
+(32-byte minor dim) im2col layout transfers at ~1/8 lane utilization —
+the SAME 8x factor the kernel deliberately trades against 8x HBM
+traffic for a 128-lane-aligned manual DMA (see _xcol_scale notes), and
+the same vreg-side factor that killed the xin window-assembly scratch.
+Every corner of this triangle (16-lane DMA, 128-lane DMA, in-kernel
+relayout) is now measured; the floor stands.
+
 Usage: python tools/grid_floor_probe.py
 """
 
