@@ -389,12 +389,15 @@ def test_chain_y_override_banded_exact(params, fast, rng):
     """The ns1080-style chain (noise_y_batch_fast -> scale y= override)
     must be band-configuration-independent: any mix of noise/scale
     band_rows (incl. the round-4 unbanded defaults) produces identical
-    output."""
+    output. Band floors: noise max(128, ...), scale max(64, ...) — the
+    frame must be TALLER than both or every config silently runs
+    unbanded (the round-3 advisor caught exactly this in the noise u8
+    band test)."""
     from waifu2x_tpu.pipeline import noise_y_batch_fast, scale2x_batch_u8_fused
 
     fast_n = FastStack.build(params, scale_input=False, tile=(16, 16),
                              interpret=True, dtype=jnp.float32)
-    yuv = jnp.asarray(rng.random((1, 48, 20, 3), dtype=np.float32))
+    yuv = jnp.asarray(rng.random((1, 160, 16, 3), dtype=np.float32))
 
     def chain(nb, sb):
         y = noise_y_batch_fast(yuv[..., 0], fast_n, band_rows=nb,
@@ -402,8 +405,8 @@ def test_chain_y_override_banded_exact(params, fast, rng):
         return np.asarray(scale2x_batch_u8_fused(yuv, fast, band_rows=sb,
                                                  y=y))
 
-    ref = chain(256, 64)                      # both unbanded
-    np.testing.assert_array_equal(chain(256, 16), ref)   # scale banded
-    # noise band floor is max(128, ...): a 48-row frame cannot band, so
-    # band the scale side at several widths instead and cross-check
-    np.testing.assert_array_equal(chain(256, 24), ref)
+    ref = chain(256, 256)                       # both unbanded (160 <= 256)
+    np.testing.assert_array_equal(chain(256, 64), ref)   # scale 3 bands
+    np.testing.assert_array_equal(chain(256, 96), ref)   # scale 2 bands
+    np.testing.assert_array_equal(chain(128, 256), ref)  # noise 2 bands
+    np.testing.assert_array_equal(chain(128, 64), ref)   # both banded

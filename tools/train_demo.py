@@ -216,6 +216,11 @@ def main() -> int:
 
     spec = WAIFU2X_7LAYER
     if args.widths:
+        if args.init:
+            raise SystemExit("--widths and --init are mutually exclusive: "
+                             "the init file fixes the architecture, and "
+                             "recording the requested widths in provenance "
+                             "while training something else would be a lie")
         from waifu2x_tpu.models.srcnn import ModelSpec
         spec = ModelSpec.from_widths(
             [int(v) for v in args.widths.split(",")])
@@ -274,7 +279,11 @@ def main() -> int:
              if prev_db is not None else ""), flush=True)
 
     curve: list[dict] = []
-    best = {"db": -1.0, "step": 0, "params": None, "variant": "sgd"}
+    # seed best with the INIT state: a fully diverged run (every eval
+    # below the seed) then ships/records the init instead of crashing on
+    # a None snapshot at export time
+    best = {"db": init_db, "step": 0, "params": as_numpy(params0),
+            "variant": "init"}
     qat_loss = None
     if args.qat_mu > 0:
         from waifu2x_tpu.train.qat import l6_quant_gap_db, make_qat_l6_loss

@@ -79,6 +79,10 @@ _DIMSEM_OPTS = {
     "batch": ("parallel", "arbitrary", "arbitrary"),
     "rows": ("parallel", "parallel", "arbitrary"),
 }
+if _os.environ.get("W2X_DIMSEM", "") not in _DIMSEM_OPTS:
+    raise ValueError(   # fail fast WITH the valid options, not a KeyError
+        f"W2X_DIMSEM must be one of {sorted(_DIMSEM_OPTS)}, got "
+        f"{_os.environ['W2X_DIMSEM']!r}")
 DIMSEM = _DIMSEM_OPTS[_os.environ.get("W2X_DIMSEM", "")]
 # A/B knob for the (n, ny, nx) grid's dimension_semantics (VERDICT r3
 # weak #5: the L1/input-stage scheduling gap). Default None = Mosaic's
@@ -373,6 +377,19 @@ def _stack_body(tr, tc, cdtype, accdt, spec, fuse_u8, l7_fold, l6_wino,
     # array keeps its compact 16-lane form (a manual HBM DMA would force
     # 128-lane alignment = 8x the traffic).
     wc = tc + 8
+    if upto == 0:
+        # forensic input-stage floor (tools/layer_time_probe.py): touch
+        # all four window fetches (so none is elided) and store a 4-lane
+        # combine — BEFORE the L1 block, so no L1 matmul or x1 store
+        # runs. The delta upto1 - upto0 is L1's true in-situ cost; upto0
+        # itself is the per-cell fetch + out-store floor the full kernel
+        # must also pay (or hide).
+        val = xa[0][0:tr, 0:tc, 0:4].astype(jnp.float32)
+        s = jnp.float32(0)
+        for ref in (xb, xc, xd):
+            s = s + jnp.sum(ref[0][:, :, 0:1].astype(jnp.float32))
+        out_ref[0] = (val + s).astype(out_ref.dtype)
+        return
     if xin is None:
         # L1 applied DIRECTLY to the four window quadrants: the 16-lane
         # im2col blocks never get copied into a contiguous scratch.
@@ -410,19 +427,6 @@ def _stack_body(tr, tc, cdtype, accdt, spec, fuse_u8, l7_fold, l6_wino,
     # production.
     def _trunc(buf):
         out_ref[0] = buf[0:tr, 0:tc, 0:4].astype(out_ref.dtype)
-
-    if upto == 0:
-        # input-stage floor: touch all four window fetches (so none is
-        # elided) and store a 4-lane combine — no L1 matmul. The delta
-        # upto1 - upto0 is L1's true in-situ cost; upto0 itself is the
-        # per-cell fetch + grid overhead the full kernel must also pay
-        # (or hide).
-        val = xa[0][:, :, 0:4].astype(jnp.float32)
-        s = jnp.float32(0)
-        for ref in (xb, xc, xd):
-            s = s + jnp.sum(ref[0][:, :, 0:1].astype(jnp.float32))
-        out_ref[0] = (val + s).astype(out_ref.dtype)
-        return
 
     if upto == 1:
         return _trunc(x1)

@@ -93,6 +93,10 @@ class StreamConverter:
 
         from waifu2x_tpu.pipeline import FastStack
 
+        if mode in ("scale", "noise_scale") and scale_params is None:
+            raise ValueError(f"mode {mode!r} needs scale_params")
+        if mode in ("noise", "noise_scale") and noise_params is None:
+            raise ValueError(f"mode {mode!r} needs noise_params")
         fast = fast_noise = None
         if mode in ("scale", "noise_scale"):
             fast = FastStack.build(scale_params, scale_input=True,

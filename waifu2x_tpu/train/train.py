@@ -103,13 +103,15 @@ def make_train_step(optimizer: optax.GradientTransformation,
 
 def make_sharded_train_step(mesh: Mesh,
                             optimizer: optax.GradientTransformation,
-                            precision: str | None = "highest") -> Callable:
+                            precision: str | None = "highest",
+                            loss: Callable | None = None) -> Callable:
     """Train step jitted over a ("dp", "sp") mesh.
 
     Inputs are NHWC with N sharded over "dp" and W over "sp"; params and
     optimizer state are replicated. XLA/GSPMD partitions the valid convs
     spatially (halo exchange over ICI) and all-reduces the gradients.
-    """
+    `loss` as in make_train_step (defaults to the MSE criterion)."""
+    _loss = loss or loss_fn
     batch_sharding = NamedSharding(mesh, P("dp", None, "sp", None))
     # targets are valid-conv outputs (W - 2*offset): not generally divisible
     # by |sp|, so shard them on batch only; GSPMD reshards at the loss.
@@ -121,7 +123,7 @@ def make_sharded_train_step(mesh: Mesh,
              out_shardings=(repl, repl, repl))
     def train_step(params, opt_state, x, y):
         loss, grads = jax.value_and_grad(
-            lambda p: loss_fn(p, x, y, precision))(params)
+            lambda p: _loss(p, x, y, precision))(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -148,7 +150,8 @@ def train_loop(params, batches: Iterable, cfg: TrainConfig = TrainConfig(),
     round trip) that serialization dominates small-model step time."""
     optimizer = cfg.make_optimizer()
     opt_state = optimizer.init(params)
-    step = (make_sharded_train_step(mesh, optimizer, cfg.precision)
+    step = (make_sharded_train_step(mesh, optimizer, cfg.precision,
+                                    loss=loss)
             if mesh is not None
             else make_train_step(optimizer, cfg.precision, loss=loss))
     ema = None
@@ -167,6 +170,7 @@ def train_loop(params, batches: Iterable, cfg: TrainConfig = TrainConfig(),
             losses.extend(np.asarray(jnp.stack(pending)).tolist())
             pending.clear()
 
+    last_eval = -1
     for i, (x, y) in enumerate(batches):
         params, opt_state, loss = step(params, opt_state,
                                        jnp.asarray(x), jnp.asarray(y))
@@ -180,7 +184,12 @@ def train_loop(params, batches: Iterable, cfg: TrainConfig = TrainConfig(),
         if eval_fn is not None and eval_every > 0 and (i + 1) % eval_every == 0:
             _drain()
             eval_fn(i + 1, params, ema)
+            last_eval = i + 1
     _drain()
+    if eval_fn is not None and len(losses) != last_eval:
+        # honor the "once at the end" contract even when the step count
+        # isn't a multiple of eval_every (or eval_every is 0)
+        eval_fn(len(losses), params, ema)
     if ema is not None:
         return params, losses, ema
     return params, losses
