@@ -105,6 +105,7 @@ def test_demo_weights_pallas_bf16_fidelity(img, demo_params, want):
     assert p >= 50.0, f"Pallas-bf16 PSNR regressed: {p:.2f} dB (bar 50)"
 
 
+@pytest.mark.slow
 def test_demo_weights_adversarial_content_fidelity(demo_params):
     """The >=50 dB bar must be CONTENT-INDEPENDENT at production sizes
     (VERDICT r2 item 6): pure-random u8 input is the bf16 worst case

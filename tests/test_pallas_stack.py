@@ -219,7 +219,7 @@ def test_upto_truncation_runs(kp, rng):
     arrays, spec = kp
     ylow = jnp.asarray(rng.random((1, 16, 16), dtype=np.float32))
     xcol = _xcol_scale(ylow, 16, 16)
-    for upto in (1, 2, 3, 4, 5, 6):
+    for upto in (0, 1, 2, 3, 4, 5, 6):
         out = _run_stack(xcol, arrays, 16, 16, 1, 1, spec, interpret=True,
                          upto=upto)
         assert out.shape == (1, 16, 16, 4)

@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from waifu2x_tpu.models.srcnn import WAIFU2X_7LAYER, init_params
 from waifu2x_tpu.ops.s2d import d2s_host_cmajor
@@ -162,6 +163,7 @@ def test_from_params_noise_dtype_policy():
     assert sc_n.fast is None and sc_n.fast_noise.dtype == jnp.bfloat16
 
 
+@pytest.mark.slow
 def test_from_params_stream_adversarial_fidelity():
     """VERDICT r3 item 7: the library's advertised stream surface must
     clear 50 dB on pure-random 512^2 (the bf16 chain's worst case) — the

@@ -129,6 +129,7 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     assert load_frame_cursor(cpath) == 17
 
 
+@pytest.mark.slow
 def test_graft_entry():
     """The driver contract: entry() jits; dryrun_multichip(8) runs."""
     import __graft_entry__ as ge

@@ -106,6 +106,9 @@ def main() -> int:
             ).astype(np.float64)
         finally:
             ps.L6_I8 = old
+            # drop the traced-with-flag kernel too: a later FastStack use
+            # in the same process must not silently reuse the wrong trace
+            ps._run_stack.clear_cache()
         mse = np.mean((got - hi) ** 2)
         return float(10 * np.log10(255.0 ** 2 / mse)) if mse else float("inf")
 
@@ -150,6 +153,7 @@ def main() -> int:
         print(f"  scale512 {name}: {mp / best:.1f} MP/s "
               f"({best * 1e3:.2f} ms/batch)", flush=True)
     ps.L6_I8 = False
+    ps._run_stack.clear_cache()
     return 0
 
 

@@ -3,7 +3,7 @@
 Replaces the reference's per-plane cv::filter2D hot loop and its std::thread
 output-channel fan-out (modelHandler.cpp:26-159) with a single fused
 multi-channel convolution chain that XLA tiles onto the MXU. See
-ops/pallas_conv.py for the hand-written Pallas kernel used on the perf path.
+ops/pallas_stack.py for the hand-written Pallas kernel used on the perf path.
 
 Semantics replicated exactly (SURVEY.md C8/C9/C11):
   * correlation, not convolution — cv::filter2D does NOT flip the kernel

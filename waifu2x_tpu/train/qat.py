@@ -47,41 +47,61 @@ def _fq(v: jax.Array, s: jax.Array) -> jax.Array:
     return v + lax.stop_gradient(q - v)
 
 
+def _make_conv(prec):
+    def conv(x, w):
+        return lax.conv_general_dilated(
+            x, w.astype(x.dtype), window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=prec)
+    return conv
+
+
+def _l6_fq_layer(conv, x: jax.Array, p) -> jax.Array:
+    """One layer under the kernel's int8 contract (fake-quantized, STE):
+    dynamic per-sample activation scale, per-output-channel weight scales."""
+    w = p["w"]
+    sx = jnp.maximum(jnp.max(jnp.abs(x), axis=(1, 2, 3), keepdims=True),
+                     jnp.float32(1e-8)) * jnp.float32(1 / 127.0)
+    sw = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2), keepdims=True),
+                     jnp.float32(1e-12)) * jnp.float32(1 / 127.0)
+    return leaky_relu(conv(_fq(x, sx), _fq(w, sw)) + p["b"].astype(x.dtype))
+
+
 @partial(jax.jit, static_argnames=("precision",))
 def stack_valid_l6fq(x: jax.Array, params,
                      precision: str | None = None) -> jax.Array:
     """conv_stack_valid twin with L6 running the kernel's int8 contract
     (fake-quantized, STE gradients). x: f32[N, H, W, 1] pre-padded."""
-    prec = _precision(precision)
-
-    def conv(x, w):
-        return lax.conv_general_dilated(
-            x, w.astype(x.dtype), window_strides=(1, 1), padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=prec)
-
+    conv = _make_conv(_precision(precision))
     for i, p in enumerate(params):
-        w = p["w"]
         if i == L6_INDEX:
-            sx = jnp.maximum(jnp.max(jnp.abs(x), axis=(1, 2, 3),
-                                     keepdims=True),
-                             jnp.float32(1e-8)) * jnp.float32(1 / 127.0)
-            sw = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2),
-                                     keepdims=True),
-                             jnp.float32(1e-12)) * jnp.float32(1 / 127.0)
-            x = conv(_fq(x, sx), _fq(w, sw))
+            x = _l6_fq_layer(conv, x, p)
         else:
-            x = conv(x, w)
-        x = leaky_relu(x + p["b"].astype(x.dtype))
+            x = leaky_relu(conv(x, p["w"]) + p["b"].astype(x.dtype))
     return x
 
 
 def make_qat_l6_loss(mu: float = 4.0):
     """Loss for train_loop(loss=...): task MSE on the f32 stack plus
-    mu x the f32-vs-fake-quant output gap (the int8 fidelity term)."""
+    mu x the f32-vs-fake-quant output gap (the int8 fidelity term).
+
+    Layers 1..L6-1 are identical between the f32 stack and its fake-quant
+    twin, so the shared prefix is computed ONCE and only the L6/L7 tails
+    branch (and nothing here carries its own jit, so the caller's
+    train-step jit sees one deduplicated graph) — the two-full-stacks
+    formulation paid the prefix twice (round-4 advisor finding)."""
 
     def loss(params, x, y, precision: str | None = "highest") -> jax.Array:
-        pred = conv_stack_valid(x, params, precision=precision)
-        predq = stack_valid_l6fq(x, params, precision=precision)
+        conv = _make_conv(_precision(precision))
+        h = x
+        for p in params[:L6_INDEX]:
+            h = leaky_relu(conv(h, p["w"]) + p["b"].astype(h.dtype))
+        pred = h
+        for p in params[L6_INDEX:]:
+            pred = leaky_relu(conv(pred, p["w"]) + p["b"].astype(pred.dtype))
+        predq = _l6_fq_layer(conv, h, params[L6_INDEX])
+        for p in params[L6_INDEX + 1:]:
+            predq = leaky_relu(conv(predq, p["w"])
+                               + p["b"].astype(predq.dtype))
         task = jnp.mean((pred - y) ** 2)
         fid = jnp.mean((predq - pred) ** 2)
         return task + jnp.float32(mu) * fid
