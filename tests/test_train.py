@@ -44,6 +44,41 @@ def test_box_downscale():
     np.testing.assert_array_equal(out, [[2.5, 4.5], [10.5, 12.5]])
 
 
+def test_blackman_downscale():
+    """The second entry of the Lua downscale filter pool
+    (pairwise_transform.lua:15-22): DC-preserving, 4-tap windowed sinc,
+    close to but not equal to box."""
+    from waifu2x_tpu.train.data import blackman_downscale2
+
+    flat = np.full((8, 8, 3), 77.0, np.float32)
+    np.testing.assert_allclose(blackman_downscale2(flat), 77.0, atol=1e-4)
+    rng = np.random.default_rng(0)
+    img = rng.random((16, 16), np.float32)
+    b, bx = blackman_downscale2(img), box_downscale2(img)
+    assert b.shape == bx.shape == (8, 8)
+    assert 0 < np.abs(b - bx).mean() < 0.1
+
+
+def test_scale_pair_filter_pool(rng):
+    """The pool picks per pair; ('box',) default reproduces the r1-r4
+    recipe exactly, the 2-filter pool yields both decimations."""
+    from waifu2x_tpu.train.data import PairOptions, scale_pair
+
+    img = _images(rng)[0]
+    r1 = np.random.default_rng(5)
+    r2 = np.random.default_rng(5)
+    x_box, y_box = scale_pair(img, r1, OPTS)
+    x_d, y_d = scale_pair(img, r2, PairOptions(
+        crop_size=OPTS.crop_size, downscale_filters=("box",)))
+    np.testing.assert_array_equal(x_box, x_d)
+    # a blackman-only pool changes the input, not the target
+    r3 = np.random.default_rng(5)
+    x_bl, y_bl = scale_pair(img, r3, PairOptions(
+        crop_size=OPTS.crop_size, downscale_filters=("blackman",)))
+    np.testing.assert_array_equal(y_bl, y_d)
+    assert np.abs(x_bl - x_d).max() > 0
+
+
 def test_scale_pair_shapes(rng):
     x, y = scale_pair(_images(rng)[0], rng, OPTS)
     assert x.shape == (32, 32)

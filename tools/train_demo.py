@@ -23,15 +23,96 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def synth_image(rng: np.random.Generator, size: int = 192) -> np.ndarray:
+def _synth_lineart(rng: np.random.Generator, size: int) -> np.ndarray:
+    """Line-art class (gen v2): near-white paper, dark thin strokes —
+    manga/sketch structure, waifu2x's actual domain. Thin AA curves are
+    exactly what 2x decimation destroys hardest."""
+    import cv2
+    paper = float(rng.integers(235, 256))
+    img = np.full((size, size, 3), paper, np.float32)
+    img += rng.uniform(-4, 4, (1, 1, 3)).astype(np.float32)  # slight tint
+    ink = float(rng.integers(0, 60))
+    n_strokes = int(rng.integers(10, 24))
+    for _ in range(n_strokes):
+        color = (ink + float(rng.uniform(0, 30)),) * 3
+        aa = cv2.LINE_AA if rng.random() < 0.8 else cv2.LINE_8
+        th = 1 if rng.random() < 0.7 else 2
+        kind = int(rng.integers(0, 3))
+        if kind == 0:   # polyline "pen stroke"
+            pts = rng.integers(0, size, (int(rng.integers(3, 7)), 2))
+            cv2.polylines(img, [pts.astype(np.int32)], False, color, th,
+                          lineType=aa)
+        elif kind == 1:  # outline ellipse (faces, bubbles)
+            c = tuple(int(v) for v in rng.integers(0, size, 2))
+            ax = (int(rng.integers(6, size // 3)),
+                  int(rng.integers(6, size // 3)))
+            cv2.ellipse(img, c, ax, float(rng.uniform(0, 180)), 0, 360,
+                        color, th, lineType=aa)
+        else:            # hatching: short parallel strokes
+            x0, y0 = (int(v) for v in rng.integers(0, size - 24, 2))
+            step = int(rng.integers(3, 7))
+            ln = int(rng.integers(8, 24))
+            ang = rng.uniform(0, np.pi)
+            dx, dy = int(np.cos(ang) * ln), int(np.sin(ang) * ln)
+            for k in range(int(rng.integers(3, 8))):
+                p = (x0 + k * step, y0 + k * step // 2)
+                cv2.line(img, p, (p[0] + dx, p[1] + dy), color, 1,
+                         lineType=aa)
+    if rng.random() < 0.3:   # flat gray fill region (tone)
+        tone = (float(rng.integers(120, 220)),) * 3
+        p1 = tuple(int(v) for v in rng.integers(0, size, 2))
+        p2 = tuple(int(v) for v in rng.integers(0, size, 2))
+        cv2.rectangle(img, p1, p2, tone, -1)
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)[:, :, ::-1]
+
+
+def _synth_text(rng: np.random.Generator, size: int) -> np.ndarray:
+    """Text class (gen v2): glyphs at assorted scales on light or dark
+    ground — subtitles/speech-bubble content; sub-pixel stroke detail."""
+    import cv2
+    dark_bg = rng.random() < 0.3
+    bg = int(rng.integers(0, 50)) if dark_bg else int(
+        rng.integers(215, 256))
+    fg_lo, fg_hi = (180, 256) if dark_bg else (0, 80)
+    # cv2 5.0's putText requires a u8 canvas
+    img = np.full((size, size, 3), bg, np.uint8)
+    fonts = [cv2.FONT_HERSHEY_SIMPLEX, cv2.FONT_HERSHEY_COMPLEX,
+             cv2.FONT_HERSHEY_TRIPLEX, cv2.FONT_HERSHEY_SCRIPT_SIMPLEX]
+    chars = ("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+             "0123456789!?.,:;-")
+    for _ in range(int(rng.integers(6, 16))):
+        s = "".join(chars[int(c)] for c in
+                    rng.integers(0, len(chars), int(rng.integers(2, 10))))
+        org = (int(rng.integers(0, size)), int(rng.integers(10, size)))
+        scale = float(rng.uniform(0.3, 1.4))
+        color = (int(rng.integers(fg_lo, fg_hi)),) * 3
+        th = 1 if scale < 0.9 else int(rng.integers(1, 3))
+        cv2.putText(img, s, org, fonts[int(rng.integers(0, len(fonts)))],
+                    scale, color, th, cv2.LINE_AA if rng.random() < 0.8
+                    else cv2.LINE_8)
+    return img[:, :, ::-1]
+
+
+def synth_image(rng: np.random.Generator, size: int = 192,
+                gen: str = "v1") -> np.ndarray:
     """Anime-adjacent synthetic art: flat-color regions, hard and
     antialiased edges, thin line work, soft 2-D gradients, smooth cloudy
     shading and occasional halftone texture — the structure classes the
     SRCNN must learn to reconstruct under 2x downscaling / JPEG noise.
     (Round 2: widened from the r1 generator — ellipses, polylines, 2-D
     gradients, low-frequency shading, dot screens — which measurably
-    raises held-out dB of the shipped demo weights.)"""
+    raises held-out dB of the shipped demo weights.)
+
+    gen="v2" (round 5) mixes in the two classes the painted generator
+    lacks — pure line-art (25%) and rendered text (20%) — per VERDICT r4
+    item 6 (generator realism for the scale ceiling)."""
     import cv2
+    if gen == "v2":
+        r = rng.random()
+        if r < 0.25:
+            return _synth_lineart(rng, size)
+        if r < 0.45:
+            return _synth_text(rng, size)
     img = np.zeros((size, size, 3), np.float32)
     img[:] = rng.integers(0, 256, 3)
     # 2-D soft gradient (random direction + strength)
@@ -86,16 +167,20 @@ EVAL_SEED = 777          # held-out corpus seed, disjoint from every
 
 
 def build_eval_set(kind: str, noise_level: int, n_images: int = 32,
-                   crops_per: int = 8, crop: int = 96):
+                   crops_per: int = 8, crop: int = 96, gen: str = "v1",
+                   opts=None):
     """Fixed held-out eval protocol (round 4): 32 synthetic images x 8
     crops = 256 (input, target) pairs, drawn from generator seed 777 —
     identical for every run and every model of a kind, so steps-vs-dB
-    curves and shipped-weight numbers are comparable across rounds."""
+    curves and shipped-weight numbers are comparable across rounds.
+    gen/opts select a recipe variant (still seed-fixed, so v2 numbers
+    are comparable across v2 runs; the v1 default is THE cross-round
+    protocol)."""
     from waifu2x_tpu.train.data import PairOptions, make_batch
 
     rng = np.random.default_rng(EVAL_SEED)
-    imgs = [synth_image(rng) for _ in range(n_images)]
-    opts = PairOptions(crop_size=crop)
+    imgs = [synth_image(rng, gen=gen) for _ in range(n_images)]
+    opts = opts or PairOptions(crop_size=crop)
     prng = np.random.default_rng(EVAL_SEED + 1)
     xs, ys = [], []
     for im in imgs:
@@ -182,6 +267,19 @@ def main() -> int:
     ap.add_argument("--init", default=None,
                     help="warm-start weights (reference-format JSON) "
                          "instead of random init")
+    ap.add_argument("--gen", default="v1", choices=["v1", "v2"],
+                    help="synthetic generator: v1 = the r1-r4 painted "
+                         "classes (THE cross-round eval protocol), v2 "
+                         "adds line-art + text classes (r5 realism run)")
+    ap.add_argument("--filters", default="box",
+                    help="comma-separated downscale filter pool for scale "
+                         "pairs (box,blackman — pairwise_transform.lua:"
+                         "15-22's random pool)")
+    ap.add_argument("--noise_mix", type=float, default=0.0,
+                    help="fraction of scale pairs that get a JPEG "
+                         "recompression q70-90 on the low-res input "
+                         "(PairOptions.noise) — the robustness mixing "
+                         "real waifu2x scale models train with")
     ap.add_argument("--workers", type=int, default=4,
                     help="host synthesis threads (cv2 releases the GIL; "
                          "long runs are otherwise host-synthesis-bound)")
@@ -210,9 +308,12 @@ def main() -> int:
     from waifu2x_tpu.train.train import TrainConfig, train_loop
 
     rng = np.random.default_rng(args.seed)
-    train_imgs = [synth_image(rng, size=args.imgsize)
+    train_imgs = [synth_image(rng, size=args.imgsize, gen=args.gen)
                   for _ in range(args.images)]
-    opts = PairOptions(crop_size=args.crop)
+    opts = PairOptions(crop_size=args.crop,
+                       downscale_filters=tuple(args.filters.split(",")),
+                       noise=args.noise_mix > 0,
+                       noise_ratio=args.noise_mix)
 
     spec = WAIFU2X_7LAYER
     if args.widths:
@@ -278,6 +379,27 @@ def main() -> int:
           + (f", previously shipped {prev_db:.2f} dB"
              if prev_db is not None else ""), flush=True)
 
+    # secondary eval on the RUN'S OWN recipe (v2 gen / filter pool /
+    # noise mix) when it differs from the v1 protocol: same seed-777
+    # fixed-set discipline, so v2 numbers compare across v2 runs — the
+    # v1 number above stays THE cross-round metric
+    ev2 = base2_db = prev2_db = None
+    recipe_changed = (args.gen != "v1" or args.filters != "box"
+                      or args.noise_mix > 0)
+    if recipe_changed:
+        eval_opts2 = PairOptions(
+            crop_size=96, downscale_filters=tuple(args.filters.split(",")),
+            noise=args.noise_mix > 0, noise_ratio=args.noise_mix)
+        xs2, ys2 = build_eval_set(args.kind, args.noise_level,
+                                  gen=args.gen, opts=eval_opts2)
+        ev2 = make_evaluator(xs2, ys2)
+        base2_db = input_baseline_db(xs2, ys2)
+        if os.path.exists(args.out):
+            prev2_db = ev2(load_model_json(args.out))[0]
+        print(f"v2-recipe held-out: input {base2_db:.2f} dB"
+              + (f", previously shipped {prev2_db:.2f} dB"
+                 if prev2_db is not None else ""), flush=True)
+
     curve: list[dict] = []
     # seed best with the INIT state: a fully diverged run (every eval
     # below the seed) then ships/records the init instead of crashing on
@@ -327,6 +449,14 @@ def main() -> int:
           f"{init_db:.2f} dB -> shipped {trained_db:.2f} dB "
           f"({best['variant']} @ step {best['step']})")
 
+    ship_v2_db = None
+    if ev2 is not None:
+        ship_v2_db = ev2(ship)[0]
+        print(f"v2-recipe held-out, shipped weights: {ship_v2_db:.2f} dB "
+              f"(input {base2_db:.2f}"
+              + (f", prev {prev2_db:.2f}" if prev2_db is not None else "")
+              + ")")
+
     save_model_json(args.out, ship)
     reloaded = load_model_json(args.out)
     print(f"exported reference-format weights to {args.out} "
@@ -346,6 +476,14 @@ def main() -> int:
         "lr": args.lr, "warmup": args.warmup, "ema_decay": args.ema,
         "clip_norm": args.clip, "qat_mu": args.qat_mu,
         "init": args.init, "widths": args.widths,
+        "recipe": {"gen": args.gen, "filters": args.filters,
+                   "noise_mix": args.noise_mix},
+        "heldout_v2_db": (round(ship_v2_db, 2)
+                          if ship_v2_db is not None else None),
+        "heldout_v2_input_baseline_db": (round(base2_db, 2)
+                                         if base2_db is not None else None),
+        "heldout_v2_prev_shipped_db": (round(prev2_db, 2)
+                                       if prev2_db is not None else None),
         "eval_protocol": {"images": 32, "crops_per": 8, "crop": 96,
                           "seed": EVAL_SEED,
                           "metric": "mean per-sample Y-PSNR dB (unit peak, "

@@ -46,6 +46,41 @@ def box_downscale2(img: np.ndarray) -> np.ndarray:
     return img.reshape(h2, 2, w2, 2, *img.shape[2:]).mean(axis=(1, 3))
 
 
+def _blackman_taps() -> np.ndarray:
+    # 4-tap separable kernel for factor-2 decimation: blackman-windowed
+    # sinc sampled at x = +-0.25, +-0.75 (output-space units, support 1)
+    x = np.array([-0.75, -0.25, 0.25, 0.75])
+    w = (np.sinc(x) * (0.42 + 0.5 * np.cos(np.pi * x)
+                       + 0.08 * np.cos(2 * np.pi * x)))
+    return (w / w.sum()).astype(np.float32)
+
+
+_BLACKMAN = _blackman_taps()
+
+
+def blackman_downscale2(img: np.ndarray) -> np.ndarray:
+    """2x Blackman-filter downscale — the second entry of the Lua
+    downscale filter pool (pairwise_transform.lua:15-22 picks a random
+    filter from {"Box", "Blackman"} per pair; graphicsmagick's Blackman
+    is the windowed-sinc family — this is the standard 4-tap separable
+    form). A slightly wider, softer decimation than box (all-positive
+    taps ~[0.014, 0.486, 0.486, 0.014]), so a model trained on the pool
+    sees both decimation characters instead of overfitting box's exact
+    2-px average."""
+    h, w = img.shape[:2]
+    h2, w2 = h // 2, w // 2
+    img = img[: h2 * 2, : w2 * 2].astype(np.float32)
+    pad = np.pad(img, ((1, 1), (1, 1)) + ((0, 0),) * (img.ndim - 2),
+                 mode="edge")
+    t = _BLACKMAN
+    rows = sum(t[k] * pad[k: k + 2 * h2: 2] for k in range(4))
+    cols = sum(t[k] * rows[:, k: k + 2 * w2: 2] for k in range(4))
+    return cols
+
+
+_DOWNSCALE_FILTERS = {"box": box_downscale2, "blackman": blackman_downscale2}
+
+
 def _upscale2_nearest(img: np.ndarray) -> np.ndarray:
     return img.repeat(2, axis=0).repeat(2, axis=1)
 
@@ -112,6 +147,9 @@ class PairOptions:
     color_augment: bool = True
     noise: bool = False             # add JPEG noise to scale pairs
     noise_ratio: float = 0.5
+    downscale_filters: tuple = ("box",)   # per-pair random pick from the
+    #   pool, pairwise_transform.lua:15-22 ({"Box","Blackman"} upstream);
+    #   default box-only preserves the r1-r4 recipe
 
 
 def scale_pair(src_rgb_u8: np.ndarray, rng: np.random.Generator,
@@ -121,7 +159,11 @@ def scale_pair(src_rgb_u8: np.ndarray, rng: np.random.Generator,
     y_img = _random_flip(y_img, rng)
     if opts.color_augment:
         y_img = _color_augment(y_img, rng)
-    x_img = box_downscale2(y_img.astype(np.float32))
+    pool = opts.downscale_filters
+    # single-entry pools skip the RNG draw so the default recipe's
+    # stream stays byte-identical to rounds 1-4 at a given seed
+    filt = pool[0] if len(pool) == 1 else pool[int(rng.integers(len(pool)))]
+    x_img = _DOWNSCALE_FILTERS[filt](y_img.astype(np.float32))
     x_u8 = np.clip(np.rint(x_img), 0, 255).astype(np.uint8)
     if opts.noise and rng.random() < opts.noise_ratio:
         x_u8 = jpeg_recompress(x_u8, int(rng.integers(70, 91)))
