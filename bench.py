@@ -14,7 +14,13 @@ host u8 reshape excluded from timing, like the host decode/encode. --impl
 xla times the lax.conv XLA path (f32 YUV out) for comparison.
 
 Fidelity: the bf16 kernel path measures >=50 dB PSNR vs the f32 reference
-stack (tests/test_fastpath.py pins exactness; --psnr reports it here).
+stack (tests/test_fastpath.py pins exactness). The scale512 headline
+emits `psnr_vs_f32_db` in its JSON line BY DEFAULT, so the per-round
+captured artifact (BENCH_r{N}.json) carries throughput AND the >=50 dB
+gate together (BASELINE.json's dual metric); --no_psnr suppresses it,
+--psnr adds it to the other workloads (chain-correct reference per
+workload: noise256 compares against the f32 noise pass, ns1080 against
+the f32 noise->scale chain).
 
 Usage: python bench.py [--batch 16] [--size 512] [--iters 20] [--psnr]
                        [--impl pallas|xla]
@@ -44,7 +50,12 @@ def main() -> int:
     ap.add_argument("--tile", default=None,
                     help="pallas tile as ROWSxCOLS, e.g. 256x64")
     ap.add_argument("--psnr", action="store_true",
-                    help="also report PSNR vs the f32 highest-precision path")
+                    help="also report PSNR vs the f32 highest-precision "
+                         "path (DEFAULT for the scale512 headline: the "
+                         "captured artifact carries throughput AND the "
+                         ">=50 dB fidelity gate in one line)")
+    ap.add_argument("--no_psnr", action="store_true",
+                    help="suppress the default scale512 PSNR")
     ap.add_argument("--workload", default="scale512",
                     choices=["scale512", "noise256", "ns1080", "mixed64",
                              "stream4k"],
@@ -263,13 +274,23 @@ def main() -> int:
     mp_per_s = out_mp * iters / dt
 
     extra = {}
-    if args.psnr:
+    want_psnr = args.psnr or (args.workload == "scale512"
+                              and not args.no_psnr)
+    if want_psnr:
         from waifu2x_tpu.ops.color import saturate_cast_u8, yuv_to_bgr
         from waifu2x_tpu.ops.s2d import d2s_host_cmajor
+        from waifu2x_tpu.pipeline import noise_batch
         sl = yuv[:2]  # f32 reference at full batch would exceed HBM
-        hi = np.asarray(saturate_cast_u8(yuv_to_bgr(scale2x_batch(
-            sl, params, Config(mode="scale", precision="highest")))),
-            np.float64)
+        cfg_hi = Config(mode="scale", precision="highest")
+        if args.workload == "noise256":
+            ref_f32 = noise_batch(sl, params, cfg_hi)
+        elif args.workload == "ns1080":
+            # the f32 reference of the CHAIN, not just the scale step
+            ref_f32 = scale2x_batch(noise_batch(sl, params, cfg_hi),
+                                    params, cfg_hi)
+        else:
+            ref_f32 = scale2x_batch(sl, params, cfg_hi)
+        hi = np.asarray(saturate_cast_u8(yuv_to_bgr(ref_f32)), np.float64)
         if args.impl == "pallas":
             got = d2s_host_cmajor(np.asarray(step(sl))).astype(np.float64)
         else:

@@ -207,6 +207,114 @@ def test_f32_chain_bit_equal(fasts, rng):
     np.testing.assert_array_equal(np.asarray(last), ref_last)
 
 
+# ---------------------------------------------------------------------------
+# product surfaces (VERDICT r4 item 1): Converter / StreamConverter / CLI
+# ---------------------------------------------------------------------------
+
+def test_converter_mesh_matches_single_device(fasts, params, rng):
+    """pipeline.Converter with cfg.mesh routes process_bgr_u8 through the
+    mesh chain; output matches the single-device converter."""
+    from waifu2x_tpu.config import Config
+    from waifu2x_tpu.pipeline import Converter
+
+    fast_s, fast_n = fasts
+    u8 = _u8_frames(rng, 1, 48, 64)[0]
+    base = dict(mode="noise_scale", scale_ratio=2.0, use_pallas=True)
+    ref_conv = Converter(Config(mesh="off", **base),
+                         params, params, fast_n, fast_s)
+    ref = ref_conv.process_bgr_u8(u8)
+    mesh_conv = Converter(Config(mesh="2x4", **base),
+                          params, params, fast_n, fast_s)
+    assert mesh_conv._mesh_pipe(48, 64) is not None
+    got = mesh_conv.process_bgr_u8(u8)
+    assert_u8_tie_equal(got, ref)
+    # too-small image falls back to single-device cleanly
+    tiny = _u8_frames(rng, 1, 12, 12)[0]
+    assert mesh_conv._mesh_pipe(12, 12) is None
+    np.testing.assert_array_equal(mesh_conv.process_bgr_u8(tiny),
+                                  ref_conv.process_bgr_u8(tiny))
+
+
+def test_converter_mesh_shrink_ratio(fasts, params, rng):
+    """The mesh product path covers the FULL chain incl. the final shrink
+    (ratio 3.0 = 2 iterations + LINEAR 0.75, main.cpp:104-169)."""
+    from waifu2x_tpu.config import Config
+    from waifu2x_tpu.pipeline import Converter
+
+    fast_s, fast_n = fasts
+    u8 = _u8_frames(rng, 1, 32, 48)[0]
+    base = dict(mode="scale", scale_ratio=3.0, use_pallas=True)
+    ref = Converter(Config(mesh="off", **base),
+                    None, params, None, fast_s).process_bgr_u8(u8)
+    got = Converter(Config(mesh="1x2x4", **base),
+                    None, params, None, fast_s).process_bgr_u8(u8)
+    assert got.shape == ref.shape == (96, 144, 3)
+    assert_u8_tie_equal(got, ref)
+
+
+@pytest.mark.parametrize("mode", ["scale", "noise", "noise_scale"])
+def test_stream_mesh_matches_single_device(fasts, rng, mode):
+    """StreamConverter(mesh=...) — mixed frame sizes (odd dims included:
+    the mesh pads instead of the raster fallback), outputs in input order,
+    equal to the single-device stream."""
+    from waifu2x_tpu.stream import StreamConverter
+
+    fast_s, fast_n = fasts
+    mesh = make_mesh3((2, 1, 4), jax.devices()[:8])
+    frames = [_u8_frames(rng, 1, h, w)[0]
+              for h, w in [(32, 40), (32, 40), (24, 48), (31, 41),
+                           (32, 40), (24, 48)]]
+    kw = dict(fast=fast_s if mode != "noise" else None,
+              fast_noise=fast_n if mode != "scale" else None,
+              mode=mode, batch=2, depth=1)
+    ref = list(StreamConverter(**kw).process_frames(frames))
+    got = list(StreamConverter(mesh=mesh, **kw).process_frames(frames))
+    assert len(got) == len(ref)
+    for g, r in zip(got, ref):
+        assert g.shape == r.shape
+        assert_u8_tie_equal(g, r)
+
+
+def test_cli_mesh_end_to_end(fasts, params, rng, tmp_path, monkeypatch):
+    """bin/waifu2x-tpu --mesh 1x2x4: files in -> PNGs out on the virtual
+    8-device mesh, equal to the single-device run (VERDICT r4 item 1's
+    done-criterion)."""
+    import cv2
+
+    from waifu2x_tpu import cli
+    from waifu2x_tpu.models.weights import save_model_json
+
+    mdir = tmp_path / "models"
+    mdir.mkdir()
+    save_model_json(str(mdir / "noise1_model.json"), params)
+    save_model_json(str(mdir / "scale2.0x_model.json"), params)
+    imgs = [_u8_frames(rng, 1, h, w)[0]
+            for h, w in [(40, 48), (40, 48), (32, 56)]]
+
+    def run(name, mesh):
+        # auto-naming writes next to the inputs (main.cpp:173-189), so
+        # each run gets its own input directory
+        d = tmp_path / name
+        d.mkdir()
+        ins = []
+        for i, img in enumerate(imgs):
+            p = d / f"in{i}.png"
+            cv2.imwrite(str(p), img)
+            ins.append(str(p))
+        rc = cli.main(["-i", *ins, "--model_dir", str(mdir),
+                       "--pallas", "on", "--mesh", mesh])
+        assert rc == 0
+        outs = sorted(str(p) for p in d.glob("*(noise_scale)*.png"))
+        assert len(outs) == 3
+        return [cv2.imread(o) for o in outs]
+
+    ref = run("single", "off")
+    got = run("meshed", "1x2x4")
+    for g, r in zip(got, ref):
+        assert g.shape == r.shape
+        assert_u8_tie_equal(g, r)
+
+
 def test_auto_spatial_shape():
     # wide frame: all devices on columns
     assert auto_spatial_shape(8, 1080, 3840, min_shard=128) == (1, 2, 4)

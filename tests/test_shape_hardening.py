@@ -1,0 +1,168 @@
+"""Edge-of-envelope hardening sweep (VERDICT r4 item 5): extreme ratios
+and shapes through the FUSED surfaces and the Converter, vs the cv2
+executable spec / the XLA twin — exercising the band/tile/pad boundary
+branches (pipeline.py banding loops, odd-dim pads, BAND_PX caps) that
+main.cpp:107-114's edge semantics and hints-jp.md:42-63's invariant
+constrain."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from waifu2x_tpu.config import Config
+from waifu2x_tpu.models.srcnn import WAIFU2X_7LAYER, as_numpy, init_params
+from waifu2x_tpu.pipeline import (
+    Converter,
+    FastStack,
+    noise_batch_u8_fused,
+    noise_y_batch_fast,
+    scale2x_batch_fast,
+    scale2x_batch_u8_fused,
+    scale_plan,
+)
+from waifu2x_tpu.utils.metrics import psnr
+from tests.oracle_pipeline import reference_pipeline
+
+
+@pytest.fixture(scope="module")
+def p7():
+    return as_numpy(init_params(jax.random.PRNGKey(3), WAIFU2X_7LAYER))
+
+
+@pytest.fixture(scope="module")
+def fasts(p7):
+    fast_s = FastStack.build(p7, scale_input=True, tile=(8, 16),
+                             interpret=True, dtype=jnp.float32)
+    fast_n = FastStack.build(p7, scale_input=False, tile=(8, 16),
+                             interpret=True, dtype=jnp.float32)
+    return fast_s, fast_n
+
+
+# ---------------------------------------------------------------------------
+# ratio sweep through the Converter (fused path) vs the cv2 spec
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("ratio", [0.5, 1.0, 1.9, 4.0, 8.0])
+def test_converter_fused_ratio_sweep(p7, rng, ratio):
+    """Ratios below/at/above the 2x steps: 0.5 = pure LINEAR shrink,
+    1.0 = no-op (int-compare quirk), 1.9 = one 2x + shrink 0.95,
+    4.0 = two exact iterations, 8.0 = three (main.cpp:104-169)."""
+    img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    cfg = Config(mode="scale", scale_ratio=ratio, use_pallas=True,
+                 compute_dtype="float32")
+    fast_s = FastStack.build(p7, scale_input=True, tile=(8, 16),
+                             interpret=True, dtype=jnp.float32)
+    conv = Converter(cfg, None, p7, None, fast_s)
+    got = conv.process_bgr_u8(img)
+    want = reference_pipeline(img, "scale", ratio, None, p7,
+                              fast=ratio >= 4.0)
+    assert got.shape == want.shape
+    assert psnr(got, want) > 50, f"ratio {ratio}: {psnr(got, want):.1f} dB"
+
+
+# ---------------------------------------------------------------------------
+# extreme shapes through the fused batch surfaces
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("h,w", [(1, 64), (2, 96), (12, 12), (15, 13),
+                                 (130, 10), (64, 256)])
+def test_fused_scale_extreme_shapes_vs_xla(fasts, p7, rng, h, w):
+    """1xN strips, sub-16-px, odd dims, tall-narrow: the fused 2x step
+    must stay within one u8 tie of the XLA twin at every geometry."""
+    from waifu2x_tpu.ops.color import saturate_cast_u8, yuv_to_bgr
+    from waifu2x_tpu.ops.s2d import d2s_host_cmajor
+    from waifu2x_tpu.pipeline import scale2x_batch
+
+    fast_s, _ = fasts
+    yuv = jnp.asarray(rng.random((1, h, w, 3), dtype=np.float32))
+    got = d2s_host_cmajor(np.asarray(scale2x_batch_u8_fused(yuv, fast_s)))
+    cfg = Config(mode="scale", precision="highest")
+    ref = np.asarray(saturate_cast_u8(yuv_to_bgr(
+        scale2x_batch(yuv, p7, cfg))))
+    d = np.abs(got.astype(int) - ref.astype(int))
+    assert d.max() <= 1 and (d != 0).mean() < 0.02, \
+        f"{h}x{w}: max {d.max()}, frac {(d != 0).mean():.3%}"
+
+
+@pytest.mark.parametrize("h", [63, 64, 65, 127, 128, 129])
+def test_scale_band_boundary_rows(fasts, rng, h):
+    """Band-boundary +-1: banded output must equal the unbanded program
+    exactly at every row-count parity around the band size."""
+    fast_s, _ = fasts
+    yuv = jnp.asarray(rng.random((1, h, 24, 3), dtype=np.float32))
+    whole = np.asarray(scale2x_batch_u8_fused(yuv, fast_s, band_rows=1152))
+    banded = np.asarray(scale2x_batch_u8_fused(yuv, fast_s, band_rows=64))
+    np.testing.assert_array_equal(banded, whole)
+    # the f32 twin (used mid-chain) must band identically
+    whole_f = np.asarray(scale2x_batch_fast(yuv, fast_s, band_rows=1152))
+    banded_f = np.asarray(scale2x_batch_fast(yuv, fast_s, band_rows=64))
+    np.testing.assert_array_equal(banded_f, whole_f)
+
+
+@pytest.mark.parametrize("h", [126, 128, 130, 255])
+def test_noise_band_boundary_rows(fasts, rng, h):
+    """Noise banding arithmetic at the boundary, odd heights included
+    (odd h pads to even inside noise_y_batch_fast)."""
+    _, fast_n = fasts
+    y = jnp.asarray(rng.random((1, h, 16), dtype=np.float32))
+    whole = np.asarray(noise_y_batch_fast(y, fast_n, band_rows=4096))
+    banded = np.asarray(noise_y_batch_fast(y, fast_n, band_rows=128))
+    np.testing.assert_array_equal(banded, whole)
+    if h % 2 == 0:
+        whole_u8 = np.asarray(noise_batch_u8_fused(
+            jnp.asarray(rng.random((1, h, 16, 3), np.float32)), fast_n,
+            band_rows=128))
+        assert whole_u8.shape == (1, h // 2, 8, 16)
+
+
+def test_volume_cap_bands_wide_batches(fasts, rng, monkeypatch):
+    """The BAND_PX per-dispatch cap must band even below band_rows when
+    the batch is wide (the batch*width term), bit-exactly."""
+    import waifu2x_tpu.pipeline as pl
+
+    fast_s, _ = fasts
+    yuv = jnp.asarray(rng.random((2, 80, 32, 3), dtype=np.float32))
+    ref = np.asarray(scale2x_batch_u8_fused(yuv, fast_s))
+    monkeypatch.setattr(pl, "BAND_PX", 2 * 40 * 32)   # forces ~40-row bands
+    got = np.asarray(scale2x_batch_u8_fused(yuv, fast_s))
+    np.testing.assert_array_equal(got, ref)
+
+
+# ---------------------------------------------------------------------------
+# extreme shapes end-to-end (Converter + StreamConverter)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("h,w", [(1, 40), (9, 120), (33, 47)])
+def test_converter_xla_extreme_shapes_vs_spec(p7, rng, h, w):
+    """The XLA product path on 1xN / extreme-aspect / odd images vs the
+    cv2 spec (these sizes route XLA under 'auto' — below SMALL_IMG_PX)."""
+    from waifu2x_tpu.pipeline import convert_image
+
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    cfg = Config(mode="noise_scale", scale_ratio=2.0)
+    got = convert_image(img, cfg, noise_params=p7, scale_params=p7)
+    want = reference_pipeline(img, "noise_scale", 2.0, p7, p7)
+    assert got.shape == want.shape
+    assert psnr(got, want) > 50
+
+
+def test_stream_extreme_shape_mix(fasts, rng):
+    """StreamConverter with a hostile mix: odd dims, near-1-row strips,
+    tall-narrow — ordered output, every frame matching the single-frame
+    fused path."""
+    from waifu2x_tpu.ops.s2d import d2s_host_cmajor
+    from waifu2x_tpu.stream import StreamConverter, _to_yuv_batch
+
+    fast_s, _ = fasts
+    shapes = [(16, 24), (15, 13), (2, 64), (15, 13), (40, 10)]
+    frames = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+              for h, w in shapes]
+    sc = StreamConverter(fast=fast_s, batch=2, depth=1, mode="scale")
+    outs = list(sc.process_frames(frames))
+    assert [o.shape for o in outs] == [(2 * h, 2 * w, 3)
+                                       for h, w in shapes]
+    for frame, out in zip(frames, outs):
+        one = d2s_host_cmajor(np.asarray(scale2x_batch_u8_fused(
+            _to_yuv_batch(jnp.asarray(frame[None])), fast_s)))[0]
+        np.testing.assert_array_equal(out, one)

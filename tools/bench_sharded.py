@@ -99,6 +99,13 @@ def main() -> int:
         lambda x: convert_batch_on_mesh(x, fast, mesh), yuv,
         out_px, iters=args.iters, baseline_mp_per_s=base.mp_per_s)
 
+    # Wall-clock "efficiency" of virtual CPU devices time-slicing ONE host
+    # core is noise, not a scaling number (r4 VERDICT): suppress it there.
+    # The no-silicon datapoint lives in tools/scaling_probe.py (total-work
+    # overhead ratio, 1-core-serialized) + the ICI byte budget it prints.
+    eff = None
+    if not args.force_cpu and report.efficiency is not None:
+        eff = round(report.efficiency, 4)
     print(json.dumps({
         "metric": f"megapixels/sec, sharded 2x stream (mesh {dp}x{sp}, "
                   f"batch {batch}, {h}x{w} frames, "
@@ -108,8 +115,10 @@ def main() -> int:
         "mesh": [dp, sp],
         "devices": n_dev,
         "baseline_1dev_mp_per_s": round(base.mp_per_s, 4),
-        "efficiency_vs_1dev": (round(report.efficiency, 4)
-                               if report.efficiency is not None else None),
+        "efficiency_vs_1dev": eff,
+        **({"note": "virtual devices share one host core; see "
+                    "tools/scaling_probe.py for the meaningful "
+                    "no-silicon datapoint"} if args.force_cpu else {}),
     }))
     return 0
 

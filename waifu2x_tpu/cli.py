@@ -77,6 +77,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "bicubic-resample it alongside, or flatten onto a "
                         "white background before processing (the original "
                         "Lua loader's behavior, image_loader.lua:23-33)")
+    p.add_argument("--mesh", default="auto",
+                   help="multi-device mesh: 'auto' (default) shards over "
+                        "all local devices when >1 TPU is attached and the "
+                        "workload qualifies; 'off' forces single-device; "
+                        "'DPxSP' (frames x width) or 'DPxDYxSP' (frames x "
+                        "rows x cols) pins a shape, e.g. 1x2x4")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace to DIR")
     p.add_argument("--device", default="auto", choices=["auto", "cpu"],
@@ -99,6 +105,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         precision=args.precision,
         compute_dtype=args.compute_dtype,
         use_pallas={"auto": "auto", "on": True, "off": False}[args.pallas],
+        mesh=args.mesh,
         alpha=args.alpha,
     )
 
@@ -110,7 +117,19 @@ def main(argv: list[str] | None = None) -> int:
     if args.device == "cpu":
         # must happen before the first backend touch; env vars alone don't
         # override a sitecustomize-registered plugin platform
+        import os
+
         import jax
+        shape = cfg.mesh_shape()
+        if isinstance(shape, tuple):
+            # an explicit mesh on the CPU backend needs that many virtual
+            # devices — request them before the backend initializes
+            n = shape[0] * shape[1] * shape[2]
+            flags = os.environ.get("XLA_FLAGS", "")
+            if n > 1 and "host_platform_device_count" not in flags:
+                os.environ["XLA_FLAGS"] = (
+                    flags + f" --xla_force_host_platform_device_count={n}"
+                ).strip()
         try:
             jax.config.update("jax_platforms", "cpu")
         except RuntimeError:
@@ -185,9 +204,10 @@ def main(argv: list[str] | None = None) -> int:
 
     total_mp = 0.0
     if stream_ok:
-        from waifu2x_tpu.stream import StreamConverter
+        from waifu2x_tpu.stream import StreamConverter, resolve_stream_mesh
         sc = StreamConverter(fast=converter.fast_scale,
-                             fast_noise=converter.fast_noise, mode=cfg.mode)
+                             fast_noise=converter.fast_noise, mode=cfg.mode,
+                             mesh=resolve_stream_mesh(cfg.mesh_shape()))
         with profile_ctx:
             for path, out in zip(inputs, sc.process_frames(imgs)):
                 out_name = w2x_io.auto_output_name(

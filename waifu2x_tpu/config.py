@@ -34,6 +34,11 @@ class Config:
     #   debugging only); an unsupported architecture still falls back.
     tile_size: int = 512               # device tile size for batched tiling
     batch_tiles: int = 8               # tiles batched per device step
+    mesh: str = "auto"                 # multi-device mesh for the product
+    #   surfaces (parallel/mesh_pipeline.py): "auto" shards over all local
+    #   devices when >1 TPU is attached and the image/stream qualifies
+    #   (single-device hosts: no-op); "off" forces single-device; "DPxSP"
+    #   (frames x width) or "DPxDYxSP" (frames x rows x cols) pins a shape.
     alpha: str = "ignore"              # ignore (reference: IMREAD_COLOR
     #   drops alpha, main.cpp:74) | bicubic (resample alpha alongside,
     #   hints-jp.md:76-81) | flatten (composite onto white before
@@ -57,6 +62,21 @@ class Config:
             raise ValueError(f"invalid use_pallas: {self.use_pallas!r}")
         if self.alpha not in ("ignore", "bicubic", "flatten"):
             raise ValueError(f"invalid alpha: {self.alpha!r}")
+        self.mesh_shape()   # validates the mesh spec
+
+    def mesh_shape(self) -> "tuple[int, int, int] | str":
+        """Parse the mesh spec: "auto"/"off" pass through; "AxB" means
+        (dp=A, dy=1, sp=B); "AxBxC" means (dp, dy, sp)."""
+        if self.mesh in ("auto", "off"):
+            return self.mesh
+        parts = self.mesh.split("x")
+        if len(parts) not in (2, 3) or not all(p.isdigit() and int(p) > 0
+                                               for p in parts):
+            raise ValueError(
+                f"invalid mesh: {self.mesh!r} (want 'auto', 'off', "
+                f"'DPxSP' or 'DPxDYxSP')")
+        dims = tuple(int(p) for p in parts)
+        return (dims[0], 1, dims[1]) if len(dims) == 2 else dims
 
     def with_block_size_exp2_square(self, exp: int) -> "Config":
         """Power-of-two square block helper, mirroring

@@ -334,7 +334,7 @@ class MeshPipeline:
         [N,H,W,3] -> (sharded u8 cmajor output, (n, out_h, out_w) crop
         dims for after d2s_host_cmajor interleave)."""
         n, h, w, _ = np.shape(yuv)
-        out, _ = self._chain_u8(self.shard(yuv))
+        out = self._chain_u8(self.shard(yuv), (h, w))
         s = 1 << self.iters
         return out, ((n, h, w) if self.mode == "noise"
                      else (n, s * h, s * w))
@@ -344,6 +344,43 @@ class MeshPipeline:
         sharded): the general path for shrink ratios / iters=0."""
         shape = np.shape(yuv)
         return self.convert_yuv_raster_presharded(self.shard(yuv), shape)
+
+    def _fix_pad(self):
+        """Re-replicate the mesh padding from the TRUE image edge after a
+        kernel stage. The initial edge-pad makes every stage's INTERIOR
+        exact, but a stage's output in the pad region is
+        kernel(replicated-input) — NOT the replicate of the edge output
+        that the reference's next phase would pad with (each phase pads
+        its OWN input, main.cpp:82-169 + convertRoutine.cpp:35-36). A
+        chained stage reads those pad columns as halo taps, so without
+        this fix the last ~4 output columns/rows drift on padded images
+        (caught by the odd-dim stream test)."""
+        if "fix_pad" not in self._jits:
+            from functools import partial
+
+            @partial(jax.jit, static_argnames=("crop",))
+            def fix(arr, crop):
+                h, w = crop
+                if w < arr.shape[2]:
+                    edge = lax.slice_in_dim(arr, w - 1, w, axis=2)
+                    mask = (jnp.arange(arr.shape[2]) >= w).reshape(
+                        (1, 1, -1) + (1,) * (arr.ndim - 3))
+                    arr = jnp.where(mask, edge, arr)
+                if h < arr.shape[1]:
+                    edge = lax.slice_in_dim(arr, h - 1, h, axis=1)
+                    mask = (jnp.arange(arr.shape[1]) >= h).reshape(
+                        (1, -1) + (1,) * (arr.ndim - 2))
+                    arr = jnp.where(mask, edge, arr)
+                return arr
+
+            self._jits["fix_pad"] = fix
+        return self._jits["fix_pad"]
+
+    def _fixed(self, arr, h, w):
+        """Apply _fix_pad only when padding exists (identity otherwise)."""
+        if arr.shape[1] == h and arr.shape[2] == w:
+            return arr
+        return self._fix_pad()(arr, (h, w))
 
     def _rewrite_y(self):
         if "rewrite_y" not in self._jits:
@@ -363,7 +400,7 @@ class MeshPipeline:
         u8 = self.shard(jnp.asarray(bgr_u8))
         yuv = self._to_yuv()(u8)
         if self.shrink == 0.0 and (self.iters >= 1 or self.mode == "noise"):
-            out, _ = self._chain_u8(yuv)
+            out = self._chain_u8(yuv, (h, w))
             host = d2s_host_cmajor(np.asarray(out))
             s = 1 if self.mode == "noise" else 1 << self.iters
             return host[:n, :s * h, :s * w]
@@ -378,37 +415,38 @@ class MeshPipeline:
                 lambda u8: bgr_to_yuv(u8_to_unit_f32(u8)))
         return self._jits["to_yuv"]
 
-    def _chain_u8(self, yuv_sharded) -> tuple[jax.Array,
-                                              tuple[int, int, int]]:
+    def _chain_u8(self, yuv_sharded, hw) -> jax.Array:
         """step_u8_cmajor body on an already padded+sharded f32 YUV array;
-        crop dims must be supplied by the caller for unpadded sizes."""
+        hw = the LOGICAL (unpadded) image dims, needed to re-replicate the
+        pad region between chained stages (_fix_pad)."""
         if self.shrink != 0.0 or (self.iters < 1 and self.mode != "noise"):
             raise ValueError("the u8-cmajor chain needs shrink == 0 and at "
                              "least one 2x iteration — use the raster path")
-        n, h, w, _ = yuv_sharded.shape
+        h, w = hw
         cur = yuv_sharded
         if self.mode == "noise":
-            return self._noise_u8()(cur), (n, h, w)
+            return self._noise_u8()(cur)
         y = None
         if self.mode == "noise_scale":
-            y = self._noise_y()(cur)
+            y = self._fixed(self._noise_y()(cur), h, w)
         for _ in range(self.iters - 1):
             if y is not None:
                 cur, y = self._scale_mid(True)(cur, y), None
             else:
                 cur = self._scale_mid(False)(cur)
-        out = (self._scale_u8(True)(cur, y) if y is not None
-               else self._scale_u8(False)(cur))
-        s = 1 << self.iters
-        return out, (n, s * h, s * w)
+            h, w = 2 * h, 2 * w
+            cur = self._fixed(cur, h, w)
+        return (self._scale_u8(True)(cur, y) if y is not None
+                else self._scale_u8(False)(cur))
 
     def convert_yuv_raster_presharded(self, yuv_sharded,
                                       orig_shape) -> jax.Array:
         n, h, w = orig_shape[0], orig_shape[1], orig_shape[2]
+        ch, cw = h, w
         cur = yuv_sharded
         y = None
         if self.mode != "scale":
-            y = self._noise_y()(cur)
+            y = self._fixed(self._noise_y()(cur), ch, cw)
             if self.mode == "noise":
                 cur = self._rewrite_y()(cur, y)
                 y = None
@@ -417,6 +455,8 @@ class MeshPipeline:
                 cur, y = self._scale_mid(True)(cur, y), None
             else:
                 cur = self._scale_mid(False)(cur)
+            ch, cw = 2 * ch, 2 * cw
+            cur = self._fixed(cur, ch, cw)
         s = 1 << self.iters
         dsize = None
         if self.shrink != 0.0:

@@ -617,6 +617,60 @@ class Converter:
                 lambda yuv: noise_batch_fast(yuv, fast))
         return self._jits["noise"]
 
+    def _mesh_pipe(self, h: int, w: int):
+        """Resolve cfg.mesh to a MeshPipeline for this image geometry, or
+        None (single-device). "auto" activates only on multi-TPU hosts and
+        picks the spatial split per image (parallel/mesh_pipeline.
+        auto_spatial_shape); explicit shapes activate anywhere the device
+        count suffices. Requires the fused stacks this mode needs (an
+        XLA-path architecture falls back single-device, logged once).
+        Pipelines are cached per mesh shape (jit caches live on them)."""
+        spec = self.cfg.mesh_shape()
+        if spec == "off":
+            return None
+        need = []
+        if self.cfg.mode in ("scale", "noise_scale"):
+            need.append(self.fast_scale)
+        if self.cfg.mode in ("noise", "noise_scale"):
+            need.append(self.fast_noise)
+        if any(f is None for f in need):
+            if "mesh_warned" not in self._jits:
+                self._jits["mesh_warned"] = True
+                if spec != "auto":
+                    log.warning("--mesh needs the fused kernels (flagship "
+                                "7-layer model on TPU, or --pallas on); "
+                                "running single-device")
+            return None
+        import jax as _jax
+        devices = _jax.devices()
+        from waifu2x_tpu.parallel.mesh_pipeline import (
+            MeshPipeline, auto_spatial_shape, make_mesh3)
+        if spec == "auto":
+            if len(devices) < 2 or not any(
+                    "TPU" in d.device_kind for d in devices):
+                return None
+            spec = auto_spatial_shape(len(devices), h, w)
+            if spec == (1, 1, 1):
+                return None
+        n_need = spec[0] * spec[1] * spec[2]
+        if n_need > len(devices):
+            if "mesh_warned" not in self._jits:
+                self._jits["mesh_warned"] = True
+                log.warning("mesh %s needs %d devices, have %d; running "
+                            "single-device", spec, n_need, len(devices))
+            return None
+        key = ("mesh", spec)
+        if key not in self._jits:
+            self._jits[key] = MeshPipeline(
+                make_mesh3(spec, devices[:n_need]),
+                fast_scale=self.fast_scale, fast_noise=self.fast_noise,
+                mode=self.cfg.mode, scale_ratio=self.cfg.scale_ratio)
+        pipe = self._jits[key]
+        mh, mw = pipe.min_image_hw()
+        if h < mh or w < mw:
+            return None
+        return pipe
+
     def _fast_ok(self, fast: "FastStack | None", px: int) -> bool:
         """Use the fused kernels for this plane? 'auto' keeps tiny images
         on the XLA path for fidelity (see SMALL_IMG_PX); an explicit
@@ -702,7 +756,15 @@ class Converter:
         return d2s_host_cmajor(np.asarray(out))[0]
 
     def process_bgr_u8(self, bgr_u8: np.ndarray) -> np.ndarray:
-        """uint8 BGR in, uint8 BGR out — the whole main.cpp math path."""
+        """uint8 BGR in, uint8 BGR out — the whole main.cpp math path.
+        On a multi-device host (or explicit cfg.mesh) the full chain runs
+        sharded over the mesh (parallel/mesh_pipeline.py) when the image
+        qualifies for the fused path; otherwise single-device."""
+        h, w = bgr_u8.shape[0], bgr_u8.shape[1]
+        pipe = self._mesh_pipe(h, w)
+        if pipe is not None and self._fast_ok(
+                self.fast_scale or self.fast_noise, h * w):
+            return pipe.convert_bgr_u8(bgr_u8[None])[0]
         yuv = _to_yuv(jnp.asarray(bgr_u8))
         out = self._final_fast_u8(yuv)
         if out is not None:

@@ -51,6 +51,33 @@ def _to_yuv_batch(bgr_u8: jax.Array) -> jax.Array:
     return bgr_to_yuv(u8_to_unit_f32(bgr_u8))
 
 
+def resolve_stream_mesh(spec):
+    """Config.mesh_shape() output -> a ("dp","dy","sp") Mesh or None.
+
+    Stream "auto" policy: pure frame data-parallelism (dp = all local
+    devices) — zero halo traffic, every chip converts whole frames; the
+    spatial axes are for explicit shapes (single giant frames). Activates
+    only on multi-TPU hosts; a single-device host (or CPU tests) is a
+    no-op, like the Converter's auto gate."""
+    if spec in ("off", (1, 1, 1)):
+        return None
+    devices = jax.devices()
+    from waifu2x_tpu.parallel.mesh_pipeline import make_mesh3
+    if spec == "auto":
+        if len(devices) < 2 or not any(
+                "TPU" in d.device_kind for d in devices):
+            return None
+        return make_mesh3((len(devices), 1, 1), devices)
+    n = spec[0] * spec[1] * spec[2]
+    if n > len(devices):
+        import logging
+        logging.getLogger("w2x.stream").warning(
+            "mesh %s needs %d devices, have %d; running single-device",
+            spec, n, len(devices))
+        return None
+    return make_mesh3(spec, devices[:n])
+
+
 @jax.jit
 def _to_bgr_u8_batch(yuv: jax.Array) -> jax.Array:
     return saturate_cast_u8(yuv_to_bgr(yuv))
@@ -73,6 +100,11 @@ class StreamConverter:
     depth: int = 2
     fast_noise: "FastStack | None" = None
     mode: str = "scale"
+    mesh: "object | None" = None   # a make_mesh3 ("dp","dy","sp") Mesh:
+    #   dispatches run the composed chain sharded over it
+    #   (parallel/mesh_pipeline.py) instead of the single-device step —
+    #   frames over "dp", image rows/cols over "dy"/"sp". Odd-dim frames
+    #   ride the mesh padding (no raster fallback needed).
 
     @classmethod
     def from_params(cls, scale_params=None, noise_params=None,
@@ -117,6 +149,12 @@ class StreamConverter:
             raise ValueError(f"mode {self.mode!r} needs a scale FastStack")
         if self.mode != "scale" and self.fast_noise is None:
             raise ValueError(f"mode {self.mode!r} needs a noise FastStack")
+        self._mesh_pipe = None
+        if self.mesh is not None:
+            from waifu2x_tpu.parallel.mesh_pipeline import MeshPipeline
+            self._mesh_pipe = MeshPipeline(
+                self.mesh, fast_scale=self.fast, fast_noise=self.fast_noise,
+                mode=self.mode, scale_ratio=2.0)
         if self.mode == "noise":
             # even-dim frames take the dense u8 cmajor tail (no device
             # d2s / full-res YUV rewrite — docs/PERF.md round 3), NOT
@@ -155,6 +193,16 @@ class StreamConverter:
         chained workloads' dominant loss; at 1080p, 4 unbanded frames
         beat 8 banded ones, 159 vs 157 MP/s) — floored at 2 frames so
         4K+ streams keep dispatch amortization and just band."""
+        if self._mesh_pipe is not None:
+            # per-DEVICE volume is what the BAND_PX rule bounds: the mesh
+            # divides every frame by dy*sp and shards frames over dp, so
+            # the cap scales with the mesh size; batches at least cover
+            # the "dp" axis (short batches get frame-padded)
+            nmesh = int(np.prod(self.mesh.devices.shape))
+            cap = max(1, nmesh * (4 if self.mode == "noise" else 1)
+                      * BAND_PX // max(1, h * w))
+            return max(self.mesh.devices.shape[0],
+                       min(max(self.batch, self.mesh.devices.shape[0]), cap))
         if self.mode == "noise":
             return max(1, min(self.batch, 4 * BAND_PX // max(1, h * w)))
         unbanded = BAND_PX // max(1, h * w)
@@ -182,7 +230,17 @@ class StreamConverter:
         if n < nbatch:  # pad the tail batch to the compiled shape
             arr = np.concatenate(
                 [arr, np.repeat(arr[-1:], nbatch - n, axis=0)])
-        return self._step(_to_yuv_batch(jnp.asarray(arr))), n
+        if self._mesh_pipe is not None:
+            # sharded chain: place the u8 batch on the mesh FIRST, then
+            # the YUV transform and the composed chain run sharded; the
+            # mesh pads dims, so retire crops to the frame's output size
+            h, w = arr.shape[1], arr.shape[2]
+            u8s = self._mesh_pipe.shard(jnp.asarray(arr))
+            out = self._mesh_pipe._chain_u8(
+                self._mesh_pipe._to_yuv()(u8s), (h, w))
+            s = 1 if self.mode == "noise" else 2
+            return out, n, (s * h, s * w)
+        return self._step(_to_yuv_batch(jnp.asarray(arr))), n, None
 
     # -- ordered streaming -------------------------------------------------
 
@@ -194,13 +252,15 @@ class StreamConverter:
         keeps the device busy, and outputs are re-ordered to input order.
         """
         bufs: dict[tuple, tuple[list[np.ndarray], list[int]]] = {}
-        pending: list[tuple[jax.Array, int, list[int]]] = []
+        pending: list[tuple] = []   # (out_dev, n_valid, crop_hw, seqs)
         ready: dict[int, np.ndarray] = {}
         next_out = 0
 
         def retire(entry):
-            out_dev, n_valid, seqs = entry
+            out_dev, n_valid, crop_hw, seqs = entry
             host = self._interleave(np.asarray(out_dev))
+            if crop_hw is not None:   # mesh-padded dims back to the frame's
+                host = host[:, :crop_hw[0], :crop_hw[1]]
             for k, seq in enumerate(seqs[:n_valid]):
                 ready[seq] = host[k]
 
