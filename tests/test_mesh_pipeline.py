@@ -63,6 +63,7 @@ def _to_yuv(u8):
     return bgr_to_yuv(u8_to_unit_f32(jnp.asarray(u8)))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("shape", [(1, 1, 8), (1, 2, 4), (2, 2, 2),
                                    (1, 4, 2)])
 def test_scale2x_chain_matches_single_device(fasts, rng, shape):
@@ -77,6 +78,7 @@ def test_scale2x_chain_matches_single_device(fasts, rng, shape):
     assert_u8_tie_equal(got, ref)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("shape", [(1, 2, 4), (2, 1, 4)])
 def test_noise_scale_chain_matches_single_device(fasts, rng, shape):
     """The chained noise->scale path with the `y=` override handoff — what
@@ -94,6 +96,7 @@ def test_noise_scale_chain_matches_single_device(fasts, rng, shape):
     assert_u8_tie_equal(got, ref)
 
 
+@pytest.mark.slow
 def test_noise_only_matches_single_device(fasts, rng):
     fast_s, fast_n = fasts
     mesh = make_mesh3((1, 2, 4), jax.devices()[:8])
@@ -105,6 +108,7 @@ def test_noise_only_matches_single_device(fasts, rng):
     assert_u8_tie_equal(got, ref)
 
 
+@pytest.mark.slow
 def test_ratio4_two_iterations_matches_single_device(fasts, rng):
     """Multi-iteration scale (main.cpp:104-169, iterTimes=2) on the mesh:
     the mid-iteration local d2s keeps shards contiguous."""
@@ -120,6 +124,7 @@ def test_ratio4_two_iterations_matches_single_device(fasts, rng):
     assert_u8_tie_equal(got, ref)
 
 
+@pytest.mark.slow
 def test_shrink_ratio_matches_single_device(fasts, rng):
     """Non-power-of-2 ratio: 2 iterations + LINEAR shrink 0.75
     (main.cpp:107-114, 158-167) — the GSPMD raster finish."""
@@ -138,6 +143,7 @@ def test_shrink_ratio_matches_single_device(fasts, rng):
     assert_u8_tie_equal(got, ref)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ratio,iters,shrink", [(1.0, 0, 0.0),
                                                 (0.6, 0, 0.6)])
 def test_identity_and_pure_shrink_ratios(fasts, rng, ratio, iters, shrink):
@@ -157,6 +163,7 @@ def test_identity_and_pure_shrink_ratios(fasts, rng, ratio, iters, shrink):
     assert_u8_tie_equal(got, ref)
 
 
+@pytest.mark.slow
 def test_odd_dims_pad_and_crop(fasts, rng):
     """Odd image dims ride the mesh padding (the single-device u8 path
     would reject them) and crop back exactly."""
@@ -184,6 +191,7 @@ def test_narrow_shard_raises(fasts, rng):
     assert pipe.min_image_hw() == (8, 64)
 
 
+@pytest.mark.slow
 def test_f32_chain_bit_equal(fasts, rng):
     """The STRONG equivalence: the sharded f32 chain (halo exchange +
     kernels + local d2s) is BIT-equal to the single-device fast path —
@@ -211,6 +219,7 @@ def test_f32_chain_bit_equal(fasts, rng):
 # product surfaces (VERDICT r4 item 1): Converter / StreamConverter / CLI
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_converter_mesh_matches_single_device(fasts, params, rng):
     """pipeline.Converter with cfg.mesh routes process_bgr_u8 through the
     mesh chain; output matches the single-device converter."""
@@ -235,6 +244,7 @@ def test_converter_mesh_matches_single_device(fasts, params, rng):
                                   ref_conv.process_bgr_u8(tiny))
 
 
+@pytest.mark.slow
 def test_converter_mesh_shrink_ratio(fasts, params, rng):
     """The mesh product path covers the FULL chain incl. the final shrink
     (ratio 3.0 = 2 iterations + LINEAR 0.75, main.cpp:104-169)."""
@@ -252,6 +262,7 @@ def test_converter_mesh_shrink_ratio(fasts, params, rng):
     assert_u8_tie_equal(got, ref)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["scale", "noise", "noise_scale"])
 def test_stream_mesh_matches_single_device(fasts, rng, mode):
     """StreamConverter(mesh=...) — mixed frame sizes (odd dims included:
@@ -275,6 +286,7 @@ def test_stream_mesh_matches_single_device(fasts, rng, mode):
         assert_u8_tie_equal(g, r)
 
 
+@pytest.mark.slow
 def test_cli_mesh_end_to_end(fasts, params, rng, tmp_path, monkeypatch):
     """bin/waifu2x-tpu --mesh 1x2x4: files in -> PNGs out on the virtual
     8-device mesh, equal to the single-device run (VERDICT r4 item 1's

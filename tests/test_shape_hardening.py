@@ -43,6 +43,7 @@ def fasts(p7):
 # ratio sweep through the Converter (fused path) vs the cv2 spec
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ratio", [0.5, 1.0, 1.9, 4.0, 8.0])
 def test_converter_fused_ratio_sweep(p7, rng, ratio):
     """Ratios below/at/above the 2x steps: 0.5 = pure LINEAR shrink,
@@ -65,6 +66,7 @@ def test_converter_fused_ratio_sweep(p7, rng, ratio):
 # extreme shapes through the fused batch surfaces
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 @pytest.mark.parametrize("h,w", [(1, 64), (2, 96), (12, 12), (15, 13),
                                  (130, 10), (64, 256)])
 def test_fused_scale_extreme_shapes_vs_xla(fasts, p7, rng, h, w):
@@ -85,6 +87,7 @@ def test_fused_scale_extreme_shapes_vs_xla(fasts, p7, rng, h, w):
         f"{h}x{w}: max {d.max()}, frac {(d != 0).mean():.3%}"
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("h", [63, 64, 65, 127, 128, 129])
 def test_scale_band_boundary_rows(fasts, rng, h):
     """Band-boundary +-1: banded output must equal the unbanded program
@@ -100,6 +103,7 @@ def test_scale_band_boundary_rows(fasts, rng, h):
     np.testing.assert_array_equal(banded_f, whole_f)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("h", [126, 128, 130, 255])
 def test_noise_band_boundary_rows(fasts, rng, h):
     """Noise banding arithmetic at the boundary, odd heights included
@@ -133,6 +137,7 @@ def test_volume_cap_bands_wide_batches(fasts, rng, monkeypatch):
 # extreme shapes end-to-end (Converter + StreamConverter)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 @pytest.mark.parametrize("h,w", [(1, 40), (9, 120), (33, 47)])
 def test_converter_xla_extreme_shapes_vs_spec(p7, rng, h, w):
     """The XLA product path on 1xN / extreme-aspect / odd images vs the
@@ -147,6 +152,7 @@ def test_converter_xla_extreme_shapes_vs_spec(p7, rng, h, w):
     assert psnr(got, want) > 50
 
 
+@pytest.mark.slow
 def test_stream_extreme_shape_mix(fasts, rng):
     """StreamConverter with a hostile mix: odd dims, near-1-row strips,
     tall-narrow — ordered output, every frame matching the single-frame
