@@ -3,7 +3,16 @@ and shapes through the FUSED surfaces and the Converter, vs the cv2
 executable spec / the XLA twin — exercising the band/tile/pad boundary
 branches (pipeline.py banding loops, odd-dim pads, BAND_PX caps) that
 main.cpp:107-114's edge semantics and hints-jp.md:42-63's invariant
-constrain."""
+constrain.
+
+Branch-coverage verification (r5, no coverage tool in the image): a
+sys.settrace line trace over pipeline.py while driving this module's
+branch set (banded/unbanded/volume-capped scale u8 + f32 twin,
+banded/odd/out_dtype=None noise plane, banded noise u8, odd-dim
+rejection) executes EVERY code line of the banding region
+(pipeline.py:377-526; the only untraced lines are def signatures and
+docstrings, which fire at import). The sweep here re-runs those same
+branches with exact-equality assertions."""
 
 import jax
 import jax.numpy as jnp
