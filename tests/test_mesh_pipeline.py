@@ -327,6 +327,33 @@ def test_cli_mesh_end_to_end(fasts, params, rng, tmp_path, monkeypatch):
         assert_u8_tie_equal(g, r)
 
 
+def test_config_mesh_shape_parsing():
+    from waifu2x_tpu.config import Config
+
+    assert Config(mesh="auto").mesh_shape() == "auto"
+    assert Config(mesh="off").mesh_shape() == "off"
+    assert Config(mesh="2x4").mesh_shape() == (2, 1, 4)     # DPxSP
+    assert Config(mesh="1x2x4").mesh_shape() == (1, 2, 4)   # DPxDYxSP
+    for bad in ("2x", "axb", "0x4", "2x4x2x1", "-1x4"):
+        with pytest.raises(ValueError, match="mesh"):
+            Config(mesh=bad)
+
+
+def test_resolve_stream_mesh():
+    """Stream mesh policy: 'off'/(1,1,1) -> None; explicit shapes build a
+    3-axis mesh when devices suffice, warn+None otherwise; 'auto' stays
+    off on non-TPU backends (this CPU test env)."""
+    from waifu2x_tpu.stream import resolve_stream_mesh
+
+    assert resolve_stream_mesh("off") is None
+    assert resolve_stream_mesh((1, 1, 1)) is None
+    assert resolve_stream_mesh("auto") is None   # CPU backend: no-op
+    m = resolve_stream_mesh((2, 1, 4))
+    assert m is not None and tuple(m.axis_names) == ("dp", "dy", "sp")
+    assert m.devices.shape == (2, 1, 4)
+    assert resolve_stream_mesh((4, 2, 4)) is None   # 32 > 8 devices
+
+
 def test_auto_spatial_shape():
     # wide frame: all devices on columns
     assert auto_spatial_shape(8, 1080, 3840, min_shard=128) == (1, 2, 4)
