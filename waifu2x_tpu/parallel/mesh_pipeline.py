@@ -179,6 +179,7 @@ class MeshPipeline:
         self.iters, self.shrink = (
             scale_plan(self.scale_ratio) if self.mode != "noise" else (0, 0.0))
         self._jits: dict = {}
+        self._warned_volume = False
 
     # -- stage programs (built once, jit-cached per input shape) ----------
 
@@ -316,7 +317,25 @@ class MeshPipeline:
         return yuv
 
     def shard(self, yuv) -> jax.Array:
-        return jax.device_put(self.pad_to_mesh(jnp.asarray(yuv)),
+        arr = self.pad_to_mesh(jnp.asarray(yuv))
+        # The mesh stages run UNBANDED (each stage is one program per
+        # shard); the per-DEVICE dispatch volume must therefore respect
+        # the same HBM budget the single-device path row-bands against
+        # (pipeline.BAND_PX ~ the im2col/uvp/u8 temporaries' footprint).
+        # A 4K frame per device fits (8.3M px < BAND_PX); 8K-per-device
+        # does not — shard the spatial axes for such frames.
+        from waifu2x_tpu.pipeline import BAND_PX
+        n, h, w = arr.shape[:3]
+        per_dev = n * h * w // self.mesh.devices.size
+        if per_dev > BAND_PX and not self._warned_volume:
+            self._warned_volume = True
+            import logging
+            logging.getLogger("w2x.mesh").warning(
+                "mesh dispatch holds %.1fM px per device (> the %.1fM "
+                "single-dispatch budget); use 'dy'/'sp' spatial axes or "
+                "smaller batches for frames this large",
+                per_dev / 1e6, BAND_PX / 1e6)
+        return jax.device_put(arr,
                               NamedSharding(self.mesh, self._yuv_spec()))
 
     def min_image_hw(self) -> tuple[int, int]:
