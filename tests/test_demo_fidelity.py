@@ -79,6 +79,7 @@ def want(img, demo_params):
                               as_numpy(noise), as_numpy(scale), fast=True)
 
 
+@pytest.mark.slow
 def test_demo_weights_xla_fidelity(img, demo_params, want):
     noise, scale = demo_params
     cfg = Config(mode="noise_scale", precision="highest",
@@ -89,6 +90,7 @@ def test_demo_weights_xla_fidelity(img, demo_params, want):
     assert p >= 70.0, f"XLA-path PSNR regressed: {p:.2f} dB (bar 70)"
 
 
+@pytest.mark.slow
 def test_demo_weights_pallas_bf16_fidelity(img, demo_params, want):
     """The fused-kernel path in the TPU production dtype (bf16 weights and
     activations, f32 tap accumulation), via the interpreter. 50 dB is the

@@ -277,6 +277,7 @@ def test_small_image_routes_to_xla_under_auto(params, fast, rng):
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_process_yuv_respects_volume_cap(params, fast, rng, monkeypatch):
     """A large single image via the public Converter API must take the
     banded dispatch path (VERDICT r1: the unbanded direct calls could

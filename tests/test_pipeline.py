@@ -104,6 +104,7 @@ def test_identity_model_is_noop_on_y(rng):
     np.testing.assert_array_equal(got, got2)
 
 
+@pytest.mark.slow
 def test_convert_image_honors_use_pallas(rng):
     """convert_image must route through the fused Pallas path when the
     config asks for it (use_pallas was previously ignored by the one-shot

@@ -129,6 +129,7 @@ def test_noise_band_boundary_rows(fasts, rng, h):
         assert whole_u8.shape == (1, h // 2, 8, 16)
 
 
+@pytest.mark.slow
 def test_volume_cap_bands_wide_batches(fasts, rng, monkeypatch):
     """The BAND_PX per-dispatch cap must band even below band_rows when
     the batch is wide (the batch*width term), bit-exactly."""

@@ -17,6 +17,7 @@ def _fast():
                            interpret=True, dtype=jnp.float32)
 
 
+@pytest.mark.slow
 def test_stream_matches_batch(rng):
     fast = _fast()
     frames = [rng.integers(0, 256, (20, 24, 3), np.uint8) for _ in range(7)]

@@ -192,6 +192,7 @@ def test_qat_fq_stack_close_but_not_equal(rng):
     assert 0 < d.max() < 0.05, d.max()
 
 
+@pytest.mark.slow
 def test_qat_loss_grads_flow_through_l6(rng):
     """STE gradients must reach L6's weights through the fake-quant (a
     zero gradient would mean the coupling term can't train anything)."""
@@ -251,6 +252,7 @@ def test_train_loop_ema_and_eval_hook(rng):
     assert max(jax.tree_util.tree_leaves(d)) > 0
 
 
+@pytest.mark.slow
 def test_sharded_step_honors_custom_loss(rng):
     """Regression (round-4 review): make_sharded_train_step must thread
     the custom loss — a QAT finetune under a mesh silently trained plain
